@@ -1,0 +1,290 @@
+"""Cyclotomic ring models as batched JAX kernels (L2 of the reference).
+
+A :class:`RingModel` binds one spec model (goldilocks / babybear / frog /
+stark_prime) to its prime field and exposes the full `Ring`/`PolyRing`
+capability surface of the reference as **functional, batched array ops**:
+
+* coefficient form  — storage ``[..., D(, limbs)]``; schoolbook multiply +
+  cyclotomic reduction (reference coeff_form.rs:54-67 + per-model
+  ``reduce_in_place``).
+* NTT/CRT form      — same shape, slot-major layout ``N x E``; slot-wise
+  extension-field multiply (reference ntt_form.rs:159-189) via precomputed
+  gather/factor tables.
+* ``crt``/``icrt``  — chains of 2-term linear stages derived from the
+  integer spec (reference goldilocks/ntt.rs:68-127 etc.), fully vectorized.
+
+A "vector of ring elements" is just a leading batch axis; the reference's
+``elementwise_crt`` / ``Flatten`` unsafe casts (crt.rs:10-49,
+flatten.rs:10-44) are plain reshapes here.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import FIELDS, Field
+from ..ops.stages import derive_linear_table, derive_stage_tables
+from ..spec import MODELS, SpecModel
+
+__all__ = ["RingModel", "get_ring", "RINGS"]
+
+_FIELD_FOR_MODEL = {
+    "goldilocks": "goldilocks",
+    "babybear": "babybear",
+    "frog": "frog",
+    "stark_prime": "stark_prime",
+}
+
+
+class RingModel:
+    """One cyclotomic ring model: Fq[X]/Phi(X) with its CRT machinery."""
+
+    def __init__(self, spec: SpecModel, field: Field):
+        self.spec = spec
+        self.field = field
+        self.name = spec.name
+        self.q = spec.q
+        self.D = spec.D
+        self.N = spec.N
+        self.E = spec.E
+
+    # ------------------------------------------------------------------
+    # derived tables (built lazily, cached)
+    # ------------------------------------------------------------------
+    @cached_property
+    def _stages(self):
+        return derive_stage_tables(self.spec, self.field)
+
+    @cached_property
+    def _reduce_table(self):
+        spec = self.spec
+
+        def fold(c):
+            r = spec.reduce(c)
+            c[: len(r)] = r
+
+        return derive_linear_table(fold, 2 * spec.D - 1, spec.D, self.field,
+                                   max_terms=3)
+
+    @cached_property
+    def _ext_tables(self):
+        """Gather/factor tables for slot-wise extension multiplication.
+
+        In degree coordinates c[k] = sum_i a[i] * b[(k-i) % E] * nr^[i>k]
+        (X^E = nr); conjugated by the model's storage permutation
+        (e.g. babybear's permute_to_fq9_of_fq3, ntt.rs:580-588).
+        """
+        E, q, nr = self.E, self.q, self.spec.nr
+        perm = np.asarray(self.spec.storage_perm, dtype=np.int32)
+        inv_perm = np.empty_like(perm)
+        inv_perm[perm] = np.arange(E, dtype=np.int32)
+        idx = np.zeros((E, E), dtype=np.int32)
+        fac = np.zeros((E, E), dtype=object)
+        for i in range(E):
+            for k in range(E):
+                idx[i, k] = (k - i) % E
+                fac[i, k] = nr % q if i > k else 1
+        return perm, inv_perm, idx, self.field.encode(fac)
+
+    @cached_property
+    def _conv_tables(self):
+        """Index/mask tables for the schoolbook full product."""
+        D = self.D
+        L = 2 * D - 1
+        idx = np.zeros((D, L), dtype=np.int32)
+        mask = np.zeros((D, L), dtype=bool)
+        for i in range(D):
+            for k in range(L):
+                j = k - i
+                if 0 <= j < D:
+                    idx[i, k] = j
+                    mask[i, k] = True
+        return jnp.asarray(idx), jnp.asarray(mask)
+
+    # ------------------------------------------------------------------
+    # host conversions
+    # ------------------------------------------------------------------
+    def encode_coeffs(self, ints):
+        """[..., D] python-int array -> storage."""
+        arr = np.asarray(ints, dtype=object)
+        assert arr.shape[-1] == self.D
+        return self.field.encode(arr)
+
+    def decode(self, x):
+        return self.field.decode(x)
+
+    def rand_coeff(self, shape, rng):
+        return self.field.rand(tuple(shape) + (self.D,), rng)
+
+    def rand_ntt(self, shape, rng):
+        return self.field.rand(tuple(shape) + (self.D,), rng)
+
+    def zeros(self, shape=()):
+        return self.field.zeros(tuple(shape) + (self.D,))
+
+    def from_scalar_coeff(self, v, shape=()):
+        """Coefficient-form constant polynomial (coeff_form.rs:556-561)."""
+        out = np.zeros(tuple(shape) + (self.D,), dtype=object)
+        out[..., 0] = v % self.q
+        return self.encode_coeffs(out)
+
+    def from_scalar_ntt(self, v, shape=()):
+        """NTT-form scalar: broadcast over slots (ntt_form.rs:689-692)."""
+        out = np.zeros(tuple(shape) + (self.D,), dtype=object)
+        out[..., 0 :: self.E] = v % self.q
+        return self.encode_coeffs(out)
+
+    # ------------------------------------------------------------------
+    # traced ring ops (all batched over leading axes)
+    # ------------------------------------------------------------------
+    def add(self, a, b):
+        return self.field.add(a, b)
+
+    def sub(self, a, b):
+        return self.field.sub(a, b)
+
+    def neg(self, a):
+        return self.field.neg(a)
+
+    def scalar_mul(self, s, a):
+        """Multiply every coefficient by a base-field scalar (storage)."""
+        return self.field.mul(s, a)
+
+    def crt(self, x):
+        """coeff -> NTT form (reference crt.rs:55-63 chain)."""
+        for st in self._stages[0]:
+            x = st(x)
+        return x
+
+    def icrt(self, x):
+        """NTT -> coeff form."""
+        for st in self._stages[1]:
+            x = st(x)
+        return x
+
+    def ntt_mul(self, a, b):
+        """Slot-wise extension-field multiply of NTT-form elements.
+
+        Mirrors ntt_form.rs:159-189; the reference's zero-short-circuit in
+        ``mul`` vs ``mul_unchecked`` is a CPU branch with identical
+        semantics, so both map to this one branch-free kernel.
+        """
+        f = self.field
+        if self.E == 1:
+            return f.mul(a, b)
+        perm, inv_perm, idx, fac = self._ext_tables
+        N, E = self.N, self.E
+        batch = a.shape[: a.ndim - (2 if f.limbed else 1)]
+        limb = f.limb_shape
+        a = a.reshape(batch + (N, E) + limb)
+        b = b.reshape(batch + (N, E) + limb)
+        a_deg = f.take_coeff(a, perm)
+        b_deg = f.take_coeff(b, perm)
+        # bg[..., n, i, k] = b_deg[..., n, (k-i)%E]
+        bg = f.take_coeff(b_deg, idx)
+        scaled = f.mul(fac, bg)
+        if f.limbed:
+            prod = f.mul(a_deg[..., :, None, :], scaled)
+            c_deg = f.sum(prod, axis=-3)
+        else:
+            prod = f.mul(a_deg[..., :, None], scaled)
+            c_deg = f.sum(prod, axis=-2)
+        c = f.take_coeff(c_deg, inv_perm)
+        return c.reshape(batch + (self.D,) + limb)
+
+    mul_unchecked = ntt_mul
+
+    def coeff_mul(self, a, b):
+        """Schoolbook polynomial multiply + cyclotomic reduction
+        (coeff_form.rs:54-67; the in-framework oracle for ntt_mul)."""
+        f = self.field
+        idx, mask = self._conv_tables
+        bg = f.take_coeff(b, idx)            # [..., D, 2D-1(, L)]
+        bg = f.select(mask, bg, jnp.zeros_like(bg))
+        if f.limbed:
+            prod = f.mul(a[..., :, None, :], bg)
+            conv = f.sum(prod, axis=-3)
+        else:
+            prod = f.mul(a[..., :, None], bg)
+            conv = f.sum(prod, axis=-2)
+        return self._reduce_table(conv)
+
+    def reduce(self, c):
+        """Reduce a length-(2D-1) coefficient tensor mod Phi(X)."""
+        return self._reduce_table(c)
+
+    def rot(self, a):
+        """Multiply by X in coefficient form (Cyclotomic::rot,
+        goldilocks/mod.rs:138-149 / frog_ring/mod.rs:125-133)."""
+        f = self.field
+        D = self.D
+        last = f.take_coeff(a, np.arange(D - 1, D, dtype=np.int32))
+        rest = f.take_coeff(a, np.arange(0, D - 1, dtype=np.int32))
+        head = f.neg(last)
+        out = jnp.concatenate([head, rest], axis=f.coeff_axis)
+        if self.spec.has_middle_term:
+            h = D // 2
+            mid = f.take_coeff(out, np.arange(h, h + 1, dtype=np.int32))
+            mid = f.add(mid, last)
+            pre = f.take_coeff(out, np.arange(0, h, dtype=np.int32))
+            post = f.take_coeff(out, np.arange(h + 1, D, dtype=np.int32))
+            out = jnp.concatenate([pre, mid, post], axis=f.coeff_axis)
+        return out
+
+    def pow_rot(self, a, k: int):
+        """a * X^k via coeff_mul with a monomial (rot() iterated)."""
+        out = a
+        for _ in range(k):
+            out = self.rot(out)
+        return out
+
+    def ntt_pow(self, a, e: int):
+        """Elementwise power in NTT form via slot-wise square & multiply."""
+        acc = None
+        base = a
+        if e == 0:
+            return self.from_scalar_ntt(1, a.shape[: a.ndim - (2 if self.field.limbed else 1)])
+        while e:
+            if e & 1:
+                acc = base if acc is None else self.ntt_mul(acc, base)
+            e >>= 1
+            if e:
+                base = self.ntt_mul(base, base)
+        return acc
+
+    def ntt_inv(self, a):
+        """Slot-wise inverse: valid when every slot is nonzero."""
+        f = self.field
+        if self.E == 1:
+            return f.inv(a)
+        # x^(|F_{q^E}|-2) slotwise: |F| - 2 = q^E - 2
+        return self.ntt_pow(a, self.q ** self.E - 2)
+
+    # -- flatten (R10): Vec<Rq> <-> Vec<Fq> are reshapes -----------------
+    def flatten(self, x):
+        f = self.field
+        batch = x.shape[: x.ndim - (2 if f.limbed else 1) - 1]
+        n = x.shape[-2 - (1 if f.limbed else 0)]
+        return x.reshape(batch + (n * self.D,) + f.limb_shape)
+
+    def promote(self, x):
+        f = self.field
+        batch = x.shape[: x.ndim - (1 if f.limbed else 0) - 1]
+        nd = x.shape[-1 - (1 if f.limbed else 0)]
+        assert nd % self.D == 0
+        return x.reshape(batch + (nd // self.D, self.D) + f.limb_shape)
+
+
+RINGS: Dict[str, RingModel] = {}
+
+
+def get_ring(name: str) -> RingModel:
+    if name not in RINGS:
+        RINGS[name] = RingModel(MODELS[name], FIELDS[_FIELD_FOR_MODEL[name]])
+    return RINGS[name]
