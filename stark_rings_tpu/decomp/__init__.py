@@ -1,0 +1,22 @@
+"""Balanced (gadget) decomposition layer (reference
+crates/ring/src/balanced_decomposition/)."""
+
+from .balanced import (
+    center,
+    decompose,
+    decompose_ring,
+    decomposition_max_length,
+    gadget_decompose,
+    gadget_recompose,
+    linf_norm,
+    recompose,
+    recompose_ring,
+    sign,
+    signed_magnitude,
+)
+
+__all__ = [
+    "decompose", "recompose", "decompose_ring", "recompose_ring",
+    "gadget_decompose", "gadget_recompose", "decomposition_max_length",
+    "center", "sign", "signed_magnitude", "linf_norm",
+]

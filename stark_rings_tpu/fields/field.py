@@ -193,6 +193,97 @@ class Field:
     def from_canon(self, u):
         return u
 
+    def canon_const(self, v: int):
+        """Raw canonical constant (np scalar/limbs) for comparisons with
+        ``canon`` output — NOT in Montgomery form."""
+        v %= self.q
+        if self.limbed:
+            return self._to_limbs_host(v)
+        return np.uint64(v) if self.dtype == jnp.uint64 else np.uint32(v)
+
+    # -- lazy / widened accumulation --------------------------------------
+    # Modular segment-sums and big reductions widen storage to base-2^32
+    # words (uint64), accumulate with plain integer adds (safe for up to
+    # 2^32 addends), then fold back mod q:  sum_j d_j 2^(32 j) mod q via a
+    # per-field power table.  This is how rayon-reduction loops of the
+    # reference (e.g. sparse_matrix.rs:202-217) become scatter-adds on TPU.
+    @property
+    def n_words(self) -> int:
+        if self.limbed:
+            return len(self.limb_shape) and self.limb_shape[0]
+        return 1 if self.bits <= 32 else 2
+
+    def widen(self, x):
+        """storage -> uint64[..., n_words] base-2^32 words."""
+        if self.limbed:
+            return x.astype(jnp.uint64)
+        x64 = x.astype(jnp.uint64)
+        if self.n_words == 1:
+            return x64[..., None]
+        return jnp.stack([x64 & _MASK32, x64 >> np.uint64(32)], axis=-1)
+
+    def _lift32(self, d):
+        """uint64 word (< 2^32) -> storage holding that raw integer."""
+        if self.limbed:
+            out = jnp.zeros(d.shape + self.limb_shape, dtype=self.dtype)
+            return out.at[..., 0].set(d.astype(self.dtype))
+        return d.astype(self.dtype)
+
+    @property
+    def _pow32_table(self):
+        """POW32S[j] = 2^(32 j) * S mod q (S = Montgomery factor if any),
+        so that mul(lift32(d), POW32S[j]) == raw d*2^(32 j) mod q."""
+        tab = getattr(self, "_pow32_cache", None)
+        if tab is None:
+            S = getattr(self, "R", 1) % self.q
+            tab = []
+            for j in range(self.n_words + 2):
+                v = (1 << (32 * j)) * S % self.q
+                if self.limbed:
+                    tab.append(self._to_limbs_host(v))
+                else:
+                    tab.append(np.uint64(v) if self.dtype == jnp.uint64
+                               else np.uint32(v))
+            self._pow32_cache = tab
+        return tab
+
+    def reduce_words(self, words):
+        """uint64[..., W] base-2^32 unnormalized words -> storage mod q."""
+        W = words.shape[-1]
+        digits = []
+        carry = jnp.zeros(words.shape[:-1], dtype=jnp.uint64)
+        for j in range(W):
+            s = words[..., j] + carry
+            digits.append(s & _MASK32)
+            carry = s >> np.uint64(32)
+        for _ in range(2):
+            digits.append(carry & _MASK32)
+            carry = carry >> np.uint64(32)
+        tab = self._pow32_table
+        acc = None
+        for j, d in enumerate(digits):
+            if j < len(tab):
+                c = tab[j]
+            else:
+                S = getattr(self, "R", 1) % self.q
+                v = (1 << (32 * j)) * S % self.q
+                c = (self._to_limbs_host(v) if self.limbed else
+                     (np.uint64(v) if self.dtype == jnp.uint64
+                      else np.uint32(v)))
+            term = self.mul(self._lift32(d), c)
+            acc = term if acc is None else self.add(acc, term)
+        return acc
+
+    def segment_sum(self, values, seg_ids, num_segments: int):
+        """Modular segment sum over the leading axis.
+
+        values: storage [n, ...]; seg_ids: int[n]; returns [num_segments, ...].
+        """
+        w = self.widen(values)          # [n, ..., W]
+        zero = jnp.zeros((num_segments,) + w.shape[1:], dtype=jnp.uint64)
+        acc = zero.at[seg_ids].add(w)
+        return self.reduce_words(acc)
+
     def geq(self, a, b):
         """a >= b on canonical storage (lexicographic for limbed)."""
         if not self.limbed:
@@ -225,7 +316,7 @@ class _Goldilocks(Field):
         out = np.empty(flat.size, dtype=np.uint64)
         for i, v in enumerate(flat):
             out[i] = _u64(int(v) % self.q)
-        return jnp.asarray(out.reshape(arr.shape) if arr.shape else out[0])
+        return out.reshape(arr.shape) if arr.shape else out[0]
 
     def decode(self, x):
         host = np.asarray(jax.device_get(x))
@@ -301,7 +392,7 @@ class _BabyBear(Field):
         out = np.empty(flat.size, dtype=np.uint32)
         for i, v in enumerate(flat):
             out[i] = np.uint32(int(v) % q * R % q)
-        return jnp.asarray(out.reshape(arr.shape) if arr.shape else out[0])
+        return out.reshape(arr.shape) if arr.shape else out[0]
 
     def decode(self, x):
         canon = self._redc(jnp.asarray(x).astype(jnp.uint64))
@@ -378,7 +469,7 @@ class _Frog(Field):
         out = np.empty(flat.size, dtype=np.uint64)
         for i, v in enumerate(flat):
             out[i] = _u64(int(v) % q * R % q)
-        return jnp.asarray(out.reshape(arr.shape) if arr.shape else out[0])
+        return out.reshape(arr.shape) if arr.shape else out[0]
 
     def decode(self, x):
         canon = self._mont_mul_raw(jnp.asarray(x), jnp.uint64(1))
@@ -445,10 +536,12 @@ class _Stark(Field):
         out = np.empty((flat.size, self.N_LIMBS), dtype=np.uint32)
         for i, v in enumerate(flat):
             out[i] = self._to_limbs_host(int(v) % q * R % q)
-        return jnp.asarray(out.reshape(arr.shape + (self.N_LIMBS,)))
+        return out.reshape(arr.shape + (self.N_LIMBS,))
 
     def decode(self, x):
-        canon = self._mont_mul_limbs(jnp.asarray(x), self._one_raw())
+        one = jnp.broadcast_to(jnp.asarray(self._one_raw()),
+                               jnp.asarray(x).shape)
+        canon = self._mont_mul_limbs(jnp.asarray(x), one)
         host = np.asarray(jax.device_get(canon), dtype=np.uint64)
         flat = host.reshape(-1, self.N_LIMBS)
         out = np.empty(flat.shape[0], dtype=object)
@@ -462,14 +555,15 @@ class _Stark(Field):
     def _one_raw(self):
         one = np.zeros(self.N_LIMBS, dtype=np.uint32)
         one[0] = 1
-        return jnp.asarray(one)
+        return one
 
     def from_uint(self, x):
         v = jnp.asarray(x).astype(jnp.uint32)
         limbs = jnp.zeros(v.shape + (self.N_LIMBS,), dtype=jnp.uint32)
         limbs = limbs.at[..., 0].set(v)
-        r2 = jnp.asarray(self._to_limbs_host(self._R2_int))
-        return self._mont_mul_limbs(limbs, jnp.broadcast_to(r2, limbs.shape))
+        r2 = self._to_limbs_host(self._R2_int)
+        return self._mont_mul_limbs(limbs, jnp.broadcast_to(jnp.asarray(r2),
+                                                            limbs.shape))
 
     # -- limb arithmetic ---------------------------------------------------
     def _geq_q(self, limbs64):
@@ -535,8 +629,9 @@ class _Stark(Field):
 
     def neg(self, a):
         z = self.is_zero(a)
-        qa = jnp.asarray(self._to_limbs_host(self.q))
-        r = self.sub(jnp.broadcast_to(qa, a.shape), a)
+        qa = jnp.broadcast_to(jnp.asarray(self._to_limbs_host(self.q)),
+                              a.shape)
+        r = self.sub(qa, a)
         return self.select(~z, r, jnp.zeros_like(a))
 
     def _mont_mul_limbs(self, a, b):
@@ -577,12 +672,13 @@ class _Stark(Field):
         return self._mont_mul_limbs(a, b)
 
     def canon(self, x):
-        return self._mont_mul_limbs(x, jnp.broadcast_to(self._one_raw(),
-                                                        x.shape))
+        one = jnp.broadcast_to(jnp.asarray(self._one_raw()), x.shape)
+        return self._mont_mul_limbs(x, one)
 
     def from_canon(self, u):
-        r2 = jnp.asarray(self._to_limbs_host(self._R2_int))
-        return self._mont_mul_limbs(u, jnp.broadcast_to(r2, u.shape))
+        r2 = jnp.broadcast_to(jnp.asarray(self._to_limbs_host(self._R2_int)),
+                              u.shape)
+        return self._mont_mul_limbs(u, r2)
 
 
 GOLDILOCKS = _Goldilocks()

@@ -1,0 +1,101 @@
+"""Dense matrix over ring elements (reference matrix.rs:17-211).
+
+``Matrix`` is a thin wrapper around one tensor ``vals`` of shape
+``[nrows, ncols] + elem_shape`` plus an :class:`ElementOps` adapter.  The
+reference's rayon-over-rows loops (matrix.rs:153) become plain batched ops:
+one broadcast multiply + a modular tree-sum — XLA fuses and vectorizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = ["Matrix"]
+
+
+class Matrix:
+    def __init__(self, elems, vals):
+        self.e = elems
+        self.vals = vals
+
+    # -- constructors (matrix.rs: zero/identity/rand) --------------------
+    @classmethod
+    def zero(cls, elems, nrows, ncols):
+        return cls(elems, elems.zeros((nrows, ncols)))
+
+    @classmethod
+    def identity(cls, elems, n):
+        one = elems.one()
+        vals = elems.zeros((n, n))
+        idx = np.arange(n)
+        vals = vals.at[idx, idx].set(jnp.broadcast_to(one, (n,) + one.shape))
+        return cls(elems, vals)
+
+    @classmethod
+    def rand(cls, elems, nrows, ncols, rng):
+        return cls(elems, elems.rand((nrows, ncols), rng))
+
+    @classmethod
+    def from_ints(cls, elems, ints):
+        return cls(elems, elems.encode(np.asarray(ints, dtype=object)))
+
+    # -- shape ------------------------------------------------------------
+    @property
+    def nrows(self):
+        return self.vals.shape[0]
+
+    @property
+    def ncols(self):
+        return self.vals.shape[1]
+
+    def decode(self):
+        return self.e.decode(self.vals)
+
+    # -- structural ops (matrix.rs: pad_rows/pad_cols/hconcat) ----------
+    def pad_rows(self, n):
+        assert n >= self.nrows
+        pad = self.e.zeros((n - self.nrows, self.ncols))
+        return Matrix(self.e, jnp.concatenate([self.vals, pad], axis=0))
+
+    def pad_cols(self, n):
+        assert n >= self.ncols
+        pad = self.e.zeros((self.nrows, n - self.ncols))
+        return Matrix(self.e, jnp.concatenate([self.vals, pad], axis=1))
+
+    def hconcat(self, other):
+        assert self.nrows == other.nrows
+        return Matrix(self.e, jnp.concatenate([self.vals, other.vals], axis=1))
+
+    def vconcat(self, other):
+        assert self.ncols == other.ncols
+        return Matrix(self.e, jnp.concatenate([self.vals, other.vals], axis=0))
+
+    def transpose(self):
+        return Matrix(self.e, jnp.swapaxes(self.vals, 0, 1))
+
+    # -- arithmetic (matrix.rs: checked_mul_mat / checked_mul_vec) -------
+    def add(self, other):
+        return Matrix(self.e, self.e.add(self.vals, other.vals))
+
+    def sub(self, other):
+        return Matrix(self.e, self.e.sub(self.vals, other.vals))
+
+    def scalar_mul(self, s):
+        """MulAssign<R> (matrix.rs): elementwise multiply by one element."""
+        return Matrix(self.e, self.e.mul(self.vals, s))
+
+    def mul_vec(self, v):
+        """checked_mul_vec (matrix.rs:148-188): [n,m]+e @ [m]+e -> [n]+e."""
+        assert v.shape[0] == self.ncols, "DifferentLengths"
+        prod = self.e.mul(self.vals, v[None])
+        return self.e.sum(prod, axis=1)
+
+    def mul_mat(self, other):
+        """checked_mul_mat: [n,k]+e @ [k,m]+e -> [n,m]+e."""
+        assert self.ncols == other.nrows, "DifferentLengths"
+        a = self.vals[:, :, None]       # [n, k, 1]+e
+        b = other.vals[None]            # [1, k, m]+e
+        prod = self.e.mul(a, b)
+        return Matrix(self.e, self.e.sum(prod, axis=1))

@@ -1,0 +1,171 @@
+"""Sparse matrix over ring elements (reference sparse_matrix.rs:18-307).
+
+The reference stores per-row ``Vec<(R, col)>``; the TPU-native layout is
+**COO with a static nnz**: ``data [nnz]+elem``, ``row/col int32 [nnz]``.
+Padding entries carry zero data (and row/col 0), which is harmless for all
+ops here because the modular segment-sum adds zeros.
+
+* mat-vec (sparse_matrix.rs:202-217): gather + modular segment-sum.
+* sparse·sparse (merge-join in the reference, :219-275): here via the
+  capability-equivalent gather/scatter product, densifying only the result
+  accumulator (result sparsity of the reference's algorithm is data
+  dependent — a static-shape TPU kernel must pick a bound; we keep the
+  dense accumulator and re-sparsify on host when needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = ["SparseMatrix"]
+
+
+class SparseMatrix:
+    def __init__(self, elems, nrows, ncols, data, rows, cols):
+        self.e = elems
+        self.nrows = int(nrows)
+        self.ncols = int(ncols)
+        self.data = data
+        self.rows = jnp.asarray(rows, dtype=jnp.int32)
+        self.cols = jnp.asarray(cols, dtype=jnp.int32)
+
+    @property
+    def nnz(self):
+        return self.data.shape[0]
+
+    # -- constructors ----------------------------------------------------
+    @classmethod
+    def from_entries(cls, elems, nrows, ncols, entries):
+        """entries: list of (row, col, python-int element)."""
+        n = max(len(entries), 1)
+        rows = np.zeros(n, dtype=np.int32)
+        cols = np.zeros(n, dtype=np.int32)
+        vals = np.zeros((n,) + tuple(
+            getattr(elems, "elem_logical_shape", None) or
+            _elem_logical(elems)), dtype=object)
+        for i, (r, c, v) in enumerate(entries):
+            rows[i], cols[i] = r, c
+            vals[i] = v
+        data = elems.encode(vals)
+        return cls(elems, nrows, ncols, data, rows, cols)
+
+    @classmethod
+    def identity(cls, elems, n):
+        one = elems.one()
+        data = jnp.broadcast_to(one, (n,) + one.shape)
+        idx = np.arange(n, dtype=np.int32)
+        return cls(elems, n, n, data, idx, idx)
+
+    @classmethod
+    def rand(cls, elems, nrows, ncols, sparsity, rng):
+        """~sparsity fraction of nonzero entries (sparse_matrix.rs rand)."""
+        entries = []
+        for r in range(nrows):
+            for c in range(ncols):
+                if rng.random() < sparsity:
+                    entries.append((r, c))
+        n = max(len(entries), 1)
+        rows = np.zeros(n, dtype=np.int32)
+        cols = np.zeros(n, dtype=np.int32)
+        data = elems.rand((n,), rng)
+        if not entries:
+            data = jnp.asarray(data) * 0
+        for i, (r, c) in enumerate(entries):
+            rows[i], cols[i] = r, c
+        if len(entries) < n:
+            data = jnp.asarray(data).at[len(entries):].set(0)
+        return cls(elems, nrows, ncols, data, rows, cols)
+
+    @classmethod
+    def from_dense(cls, elems, mat):
+        """Dense Matrix -> COO (host pass over decoded zero pattern)."""
+        vals = np.asarray(mat.vals)
+        ez = elems.elem_ndim
+        nz = ~np.all(vals.reshape(vals.shape[:2] + (-1,)) == 0, axis=-1) \
+            if ez else (vals != 0)
+        rr, cc = np.nonzero(nz)
+        n = max(len(rr), 1)
+        rows = np.zeros(n, dtype=np.int32)
+        cols = np.zeros(n, dtype=np.int32)
+        rows[: len(rr)] = rr
+        cols[: len(cc)] = cc
+        data = jnp.zeros((n,) + vals.shape[2:], dtype=mat.vals.dtype)
+        if len(rr):
+            data = data.at[: len(rr)].set(jnp.asarray(vals)[rr, cc])
+        return cls(elems, mat.nrows, mat.ncols, data, rows, cols)
+
+    # -- conversions -----------------------------------------------------
+    def to_dense(self):
+        from .matrix import Matrix
+
+        f = self.e.f
+        flat_ids = self.rows.astype(jnp.int64) * self.ncols + \
+            self.cols.astype(jnp.int64)
+        dense = f.segment_sum(self.data, flat_ids, self.nrows * self.ncols)
+        vals = dense.reshape((self.nrows, self.ncols) + dense.shape[1:])
+        return Matrix(self.e, vals)
+
+    def decode_dense(self):
+        return self.to_dense().decode()
+
+    # -- structural ------------------------------------------------------
+    def hconcat(self, other):
+        assert self.nrows == other.nrows
+        return SparseMatrix(
+            self.e, self.nrows, self.ncols + other.ncols,
+            jnp.concatenate([self.data, other.data], axis=0),
+            jnp.concatenate([self.rows, other.rows]),
+            jnp.concatenate([self.cols, other.cols + self.ncols]))
+
+    def vconcat(self, other):
+        assert self.ncols == other.ncols
+        return SparseMatrix(
+            self.e, self.nrows + other.nrows, self.ncols,
+            jnp.concatenate([self.data, other.data], axis=0),
+            jnp.concatenate([self.rows, other.rows + self.nrows]),
+            jnp.concatenate([self.cols, other.cols]))
+
+    def pad(self, nrows, ncols):
+        assert nrows >= self.nrows and ncols >= self.ncols
+        return SparseMatrix(self.e, nrows, ncols, self.data, self.rows,
+                            self.cols)
+
+    def transpose(self):
+        return SparseMatrix(self.e, self.ncols, self.nrows, self.data,
+                            self.cols, self.rows)
+
+    def scalar_mul(self, s):
+        return SparseMatrix(self.e, self.nrows, self.ncols,
+                            self.e.mul(self.data, s), self.rows, self.cols)
+
+    # -- arithmetic ------------------------------------------------------
+    def mul_vec(self, v):
+        """checked_mul_vec (sparse_matrix.rs:202-217): gather+segment-sum."""
+        assert v.shape[0] == self.ncols, "DifferentLengths"
+        f = self.e.f
+        vg = jnp.take(jnp.asarray(v), self.cols, axis=0)
+        prod = self.e.mul(self.data, vg)
+        return f.segment_sum(prod, self.rows, self.nrows)
+
+    def mul_dense(self, mat_vals):
+        """sparse [n,k] @ dense [k,m]+e -> dense [n,m]+e."""
+        f = self.e.f
+        bg = jnp.take(jnp.asarray(mat_vals), self.cols, axis=0)  # [nnz,m]+e
+        prod = self.e.mul(self.data[:, None], bg)
+        return f.segment_sum(prod, self.rows, self.nrows)
+
+    def mul_sparse(self, other):
+        """sparse·sparse (sparse_matrix.rs:219-275) — dense accumulator."""
+        assert self.ncols == other.nrows, "DifferentLengths"
+        from .matrix import Matrix
+
+        dense = other.to_dense().vals
+        return Matrix(self.e, self.mul_dense(dense))
+
+
+def _elem_logical(elems):
+    """Logical (pre-encode) element shape: ring elements have (D,)."""
+    ring = getattr(elems, "ring", None)
+    return (ring.D,) if ring is not None else ()

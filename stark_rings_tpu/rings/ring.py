@@ -105,7 +105,7 @@ class RingModel:
                 if 0 <= j < D:
                     idx[i, k] = j
                     mask[i, k] = True
-        return jnp.asarray(idx), jnp.asarray(mask)
+        return idx, mask
 
     # ------------------------------------------------------------------
     # host conversions
@@ -196,7 +196,9 @@ class RingModel:
             prod = f.mul(a_deg[..., :, None], scaled)
             c_deg = f.sum(prod, axis=-2)
         c = f.take_coeff(c_deg, inv_perm)
-        return c.reshape(batch + (self.D,) + limb)
+        # batch may have broadcast: derive output shape from c itself
+        nb = c.ndim - 2 - (1 if f.limbed else 0)
+        return c.reshape(c.shape[:nb] + (self.D,) + limb)
 
     mul_unchecked = ntt_mul
 
@@ -258,13 +260,70 @@ class RingModel:
                 base = self.ntt_mul(base, base)
         return acc
 
+    @cached_property
+    def _frob_tables(self):
+        """Per-slot Frobenius maps x -> x^(q^i), i=1..E-1, as 1-term stages.
+
+        In the canonical slot field Fq[X]/(X^E - nr) Frobenius is a
+        monomial map X^j -> nr^k X^r with j*q^i = E*k + r, i.e. a
+        permutation + diagonal scale — derived here by probing the integer
+        spec convention (storage_perm conjugation as in SpecModel.ext_mul).
+        """
+        spec, E, q, nr = self.spec, self.E, self.q, self.spec.nr
+        perm = list(spec.storage_perm)
+        inv_perm = [0] * E
+        for i, p in enumerate(perm):
+            inv_perm[p] = i
+        tables = []
+        for i in range(1, E):
+            qi = q ** i
+
+            def frob(c, qi=qi):
+                ad = [c[perm[t]] for t in range(E)]
+                out = [0] * E
+                for j in range(E):
+                    m = j * qi
+                    r = m % E
+                    k = m // E
+                    out[r] = (out[r] + ad[j] * pow(nr, k, q)) % q
+                c[:] = [out[inv_perm[t]] for t in range(E)]
+
+            tables.append(
+                derive_linear_table(frob, E, E, self.field, max_terms=1))
+        return tables
+
+    def _slotwise(self, fn, x):
+        """Apply an E-coordinate map slot-wise over the D axis."""
+        f = self.field
+        batch = x.shape[: x.ndim - (2 if f.limbed else 1)]
+        xs = x.reshape(batch + (self.N, self.E) + f.limb_shape)
+        ys = fn(xs)
+        return ys.reshape(batch + (self.D,) + f.limb_shape)
+
     def ntt_inv(self, a):
-        """Slot-wise inverse: valid when every slot is nonzero."""
+        """Slot-wise inverse (slots must be nonzero).
+
+        Uses the norm trick instead of Fermat on q^E: with
+        c = prod_{i=1..E-1} a^(q^i) (conjugate product via the Frobenius
+        stages), N(a) = a*c lies in Fq, so a^-1 = c * N(a)^-1 — only one
+        base-field inversion of a 64-bit (or 252-bit) exponent chain.
+        """
         f = self.field
         if self.E == 1:
             return f.inv(a)
-        # x^(|F_{q^E}|-2) slotwise: |F| - 2 = q^E - 2
-        return self.ntt_pow(a, self.q ** self.E - 2)
+        conj = None
+        for tab in self._frob_tables:
+            fa = self._slotwise(tab, a)
+            conj = fa if conj is None else self.ntt_mul(conj, fa)
+        norm = self.ntt_mul(a, conj)
+        # norm lives in Fq: stored coordinate 0 of each slot
+        batch = norm.shape[: norm.ndim - (2 if f.limbed else 1)]
+        ns = norm.reshape(batch + (self.N, self.E) + f.limb_shape)
+        n0 = f.take_coeff(ns, np.arange(0, 1, dtype=np.int32))
+        inv_n0 = f.inv(n0)  # [..., N, 1(, L)] broadcasts over E
+        cs = conj.reshape(batch + (self.N, self.E) + f.limb_shape)
+        out = f.mul(cs, inv_n0)
+        return out.reshape(batch + (self.D,) + f.limb_shape)
 
     # -- flatten (R10): Vec<Rq> <-> Vec<Fq> are reshapes -----------------
     def flatten(self, x):

@@ -1,0 +1,123 @@
+"""Balanced decomposition tests.
+
+Mirrors the reference's test suite (balanced_decomposition/mod.rs:405-422
+exhaustive-range roundtrips; stark_prime/decomposition.rs:72-99 golden
+vector) plus equivalence of the fixed-k reformulation with the reference's
+data-dependent digit loop."""
+
+import random
+
+import numpy as np
+import pytest
+
+from stark_rings_tpu.decomp import (
+    center,
+    decompose,
+    decomposition_max_length,
+    gadget_decompose,
+    gadget_recompose,
+    recompose,
+    sign,
+)
+from stark_rings_tpu.fields import FIELDS, get_field
+from stark_rings_tpu.spec.decomp import (
+    decompose_balanced_fixed,
+    decompose_balanced_ref,
+    recompose_ints,
+    to_signed,
+)
+
+NAMES = list(FIELDS)
+BASES = [2, 4, 8, 16, 32, 256, 65536]
+
+
+def test_fixed_equals_reference_loop_exhaustive():
+    """The branch-free fixed-k digit rule == the reference loop, for every
+    signed value in a full small range and every test basis (the analogue
+    of the reference's all-of-F_65537 test)."""
+    for b in BASES:
+        k = decomposition_max_length(1 << 40, b)
+        for v in range(-3000, 3000):
+            assert decompose_balanced_ref(v, b, k) == \
+                decompose_balanced_fixed(v, b, k), (v, b)
+        rng = random.Random(b)
+        for _ in range(500):
+            v = rng.randrange(-(1 << 39), 1 << 39)
+            assert decompose_balanced_ref(v, b, k) == \
+                decompose_balanced_fixed(v, b, k), (v, b)
+
+
+def test_digit_bound_and_recompose_ints():
+    rng = random.Random(7)
+    for b in BASES:
+        k = decomposition_max_length(1 << 62, b)
+        for _ in range(200):
+            v = rng.randrange(-(1 << 61), 1 << 61)
+            d = decompose_balanced_fixed(v, b, k)
+            assert all(abs(x) <= b // 2 for x in d)
+            assert recompose_ints(d, b) == v
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_device_decompose_matches_spec(name):
+    f = get_field(name)
+    q = f.q
+    rng = random.Random(8)
+    vals = [0, 1, 2, q - 1, q - 2, (q - 1) // 2, (q + 1) // 2]
+    vals += [rng.randrange(q) for _ in range(40)]
+    for b in (4, 256, 65536):
+        k = decomposition_max_length(q, b)
+        x = f.encode(np.array(vals, dtype=object))
+        dig = decompose(f, x, b, k)
+        axis = -2 if f.limbed else -1
+        got = f.decode(dig)
+        for i, v in enumerate(vals):
+            want = [d % q for d in
+                    decompose_balanced_fixed(to_signed(v, q), b, k)]
+            row = list(got[i]) if not f.limbed else list(got[i, :])
+            assert row == want, (name, b, v)
+        # roundtrip on device
+        back = f.decode(recompose(f, dig, b))
+        assert list(back) == vals, (name, b)
+
+
+def test_stark_prime_decomposition_golden():
+    """stark_prime/decomposition.rs:72-99 golden vector."""
+    f = get_field("stark_prime")
+    q = f.q
+    x = f.encode(np.array([253532532532352325], dtype=object))
+    dig = f.decode(decompose(f, x, 1 << 16, 16))
+    want = [(-27323) % q, (-17255) % q, (-17793) % q, 901] + [0] * 12
+    assert list(dig[0]) == want
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_gadget_roundtrip_ring(name):
+    from stark_rings_tpu.rings import get_ring
+
+    ring = get_ring(name)
+    f = ring.field
+    rng = random.Random(9)
+    x = ring.rand_coeff((3,), rng)
+    b, k = 256, decomposition_max_length(f.q, 256)
+    g = gadget_decompose(f, x, b, k)
+    off = 2 if f.limbed else 1
+    assert g.shape[-off - 1] == 3 * k
+    back = gadget_recompose(f, g, b, k)
+    assert (np.asarray(back) == np.asarray(x)).all()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_center_sign(name):
+    f = get_field(name)
+    q = f.q
+    rng = random.Random(10)
+    vals = [0, 1, q - 1, (q - 1) // 2, (q + 1) // 2] + [
+        rng.randrange(q) for _ in range(20)]
+    x = f.encode(np.array(vals, dtype=object))
+    got_c = list(f.decode(center(f, x)))
+    got_s = list(f.decode(sign(f, x)))
+    for i, v in enumerate(vals):
+        s = to_signed(v, q)
+        assert got_c[i] == abs(s) % q, (name, v)
+        assert got_s[i] == (1 if s >= 0 else q - 1), (name, v)

@@ -1,0 +1,170 @@
+"""Linalg tests vs python-int oracles (reference matrix.rs:213-285,
+sparse_matrix.rs:309-409, symmetric_matrix.rs tests, ops.rs:82-134)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from stark_rings_tpu.fields import get_field
+from stark_rings_tpu.linalg import (
+    FieldElems,
+    Matrix,
+    RingElems,
+    SparseMatrix,
+    SymmetricMatrix,
+    recompose_left_right_symmetric_matrix,
+    rounded_div_jnp,
+)
+from stark_rings_tpu.rings import get_ring
+from stark_rings_tpu.spec.decomp import rounded_div
+
+FIELD_NAMES = ["goldilocks", "babybear", "frog", "stark_prime"]
+
+
+def _int_matmul(A, B, q):
+    n, k = len(A), len(A[0])
+    m = len(B[0])
+    return [[sum(A[i][t] * B[t][j] for t in range(k)) % q for j in range(m)]
+            for i in range(n)]
+
+
+@pytest.mark.parametrize("name", FIELD_NAMES)
+def test_dense_matmul_matvec(name):
+    f = get_field(name)
+    e = FieldElems(f)
+    rng = random.Random(20)
+    q = f.q
+    A = [[rng.randrange(q) for _ in range(5)] for _ in range(4)]
+    B = [[rng.randrange(q) for _ in range(3)] for _ in range(5)]
+    v = [rng.randrange(q) for _ in range(5)]
+    MA = Matrix.from_ints(e, A)
+    MB = Matrix.from_ints(e, B)
+    got = MA.mul_mat(MB).decode()
+    want = _int_matmul(A, B, q)
+    for i in range(4):
+        assert list(got[i]) == want[i]
+    gv = e.decode(MA.mul_vec(e.encode(np.array(v, dtype=object))))
+    wv = [sum(A[i][j] * v[j] for j in range(5)) % q for i in range(4)]
+    assert list(gv) == wv
+
+
+def test_dense_identity_pad_concat():
+    f = get_field("goldilocks")
+    e = FieldElems(f)
+    I = Matrix.identity(e, 3)
+    got = I.decode()
+    for i in range(3):
+        for j in range(3):
+            assert got[i][j] == (1 if i == j else 0)
+    P = I.pad_rows(5).pad_cols(4)
+    assert P.nrows == 5 and P.ncols == 4
+    H = I.hconcat(I)
+    assert H.ncols == 6
+
+
+@pytest.mark.parametrize("name", ["goldilocks", "babybear"])
+def test_ring_matrix_matvec(name):
+    """Matrix of NTT-form ring elements: scalar mul = slotwise ext mul."""
+    ring = get_ring(name)
+    e = RingElems(ring)
+    spec = ring.spec
+    rng = random.Random(21)
+    n, m = 3, 2
+    A_ints = [[[rng.randrange(spec.q) for _ in range(spec.D)]
+               for _ in range(m)] for _ in range(n)]
+    v_ints = [[rng.randrange(spec.q) for _ in range(spec.D)] for _ in range(m)]
+    MA = Matrix.from_ints(e, A_ints)
+    v = e.encode(np.array(v_ints, dtype=object))
+    got = e.decode(MA.mul_vec(v))
+    for i in range(n):
+        want = [0] * spec.D
+        for j in range(m):
+            p = spec.ntt_mul(A_ints[i][j], v_ints[j])
+            want = [(x + y) % spec.q for x, y in zip(want, p)]
+        assert list(got[i]) == want, i
+
+
+@pytest.mark.parametrize("name", FIELD_NAMES)
+def test_sparse_matvec_and_dense_roundtrip(name):
+    f = get_field(name)
+    e = FieldElems(f)
+    rng = random.Random(22)
+    q = f.q
+    n, m = 6, 5
+    entries = []
+    dense = [[0] * m for _ in range(n)]
+    for r in range(n):
+        for c in range(m):
+            if rng.random() < 0.4:
+                val = rng.randrange(q)
+                entries.append((r, c, val))
+                dense[r][c] = val
+    S = SparseMatrix.from_entries(e, n, m, entries)
+    got_dense = S.to_dense().decode()
+    for i in range(n):
+        assert list(got_dense[i]) == dense[i]
+    v = [rng.randrange(q) for _ in range(m)]
+    gv = e.decode(S.mul_vec(e.encode(np.array(v, dtype=object))))
+    wv = [sum(dense[i][j] * v[j] for j in range(m)) % q for i in range(n)]
+    assert list(gv) == wv
+    # from_dense roundtrip
+    S2 = SparseMatrix.from_dense(e, S.to_dense())
+    got2 = S2.to_dense().decode()
+    for i in range(n):
+        assert list(got2[i]) == dense[i]
+
+
+def test_sparse_sparse_mul():
+    f = get_field("goldilocks")
+    e = FieldElems(f)
+    rng = random.Random(23)
+    q = f.q
+    A = SparseMatrix.rand(e, 4, 6, 0.5, rng)
+    B = SparseMatrix.rand(e, 6, 3, 0.5, rng)
+    got = A.mul_sparse(B).decode()
+    DA = A.to_dense().decode()
+    DB = B.to_dense().decode()
+    want = _int_matmul([list(r) for r in DA], [list(r) for r in DB], q)
+    for i in range(4):
+        assert list(got[i]) == want[i]
+
+
+def test_symmetric_matrix_and_gadget_recompose():
+    f = get_field("goldilocks")
+    e = FieldElems(f)
+    rng = random.Random(24)
+    q = f.q
+    n, d = 2, 3
+    nd = n * d
+    rows = [[rng.randrange(q) for _ in range(i + 1)] for i in range(nd)]
+    S = SymmetricMatrix.from_rows(e, rows)
+    assert S.size() == nd
+    dense = np.asarray(f.decode(S.to_dense()))
+    for i in range(nd):
+        for j in range(nd):
+            assert dense[i][j] == dense[j][i]
+    b = 256
+    pb_ints = [pow(b, i, q) for i in range(d)]
+    pb = e.encode(np.array(pb_ints, dtype=object))
+    G = recompose_left_right_symmetric_matrix(S, pb)
+    got = np.asarray(f.decode(G.to_dense()))
+    for i in range(n):
+        for j in range(n):
+            want = 0
+            for k in range(nd):
+                for l in range(nd):
+                    if k // d == i and l // d == j:
+                        want += int(dense[k][l]) * pb_ints[k % d] * \
+                            pb_ints[l % d]
+            assert got[i][j] == want % q, (i, j)
+
+
+def test_rounded_div_jnp():
+    import itertools
+
+    vals = [-17, -8, -5, -2, -1, 0, 1, 2, 5, 8, 17]
+    divs = [-6, -4, -2, 2, 4, 6]
+    for a, b in itertools.product(vals, divs):
+        got = int(rounded_div_jnp(np.int64(a), np.int64(b)))
+        assert got == rounded_div(a, b), (a, b)
