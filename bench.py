@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark: degree-2^16 Goldilocks negacyclic ring multiplication
+throughput on one chip (BASELINE north star / config 1 scaled).
+
+One full "ring mult" = forward NTT(a) + NTT(b) + pointwise + inverse NTT
+(3 transforms x 16 stages x 32768 butterflies + 65536 pointwise muls, all
+bit-exact mod q).  Prints ONE JSON line with ring mults/sec/chip plus the
+derived butterfly and modmul rates.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from stark_rings_tpu.fields import get_field
+    from stark_rings_tpu.ops.ntt import get_ntt
+
+    f = get_field("goldilocks")
+    N = 1 << 16
+    B = 8
+    ctx = get_ntt("goldilocks", N, negacyclic=True)
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, f.q, size=(B, N), dtype=np.uint64)
+    b = rng.integers(0, f.q, size=(B, N), dtype=np.uint64)
+    a = jax.device_put(a)
+    b = jax.device_put(b)
+
+    mul = jax.jit(ctx.mul)
+    out = mul(a, b)
+    jax.block_until_ready(out)  # compile + warm
+
+    # calibrate iteration count to ~3s
+    t0 = time.perf_counter()
+    jax.block_until_ready(mul(a, b))
+    per_call = max(time.perf_counter() - t0, 1e-4)
+    iters = max(int(3.0 / per_call), 3)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = mul(a, b)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ring_mults = B * iters / dt
+    # 3 transforms x (N/2 log2 N) butterflies per ring mult
+    butterflies = ring_mults * 3 * (N // 2) * (N.bit_length() - 1)
+    modmuls = butterflies + ring_mults * N  # + pointwise
+
+    print(json.dumps({
+        "metric": "goldilocks_deg2^16_ring_mults_per_sec_per_chip",
+        "value": round(ring_mults, 3),
+        "unit": "ring mults/s",
+        "vs_baseline": round(ring_mults / 5e8, 9),
+        "butterflies_per_sec": round(butterflies, 0),
+        "modmuls_per_sec": round(modmuls, 0),
+        "batch": B,
+        "iters": iters,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+"""Multi-chip distribution layer.
+
+The reference is a single-process library (its only parallelism is a rayon
+feature, SURVEY.md §2.5); this package is the TPU-native scale-out story:
+`jax.sharding.Mesh` + `shard_map`, with the NTT stage exchange as a single
+`all_to_all` (four-step/Bailey decomposition) over ICI and reductions as
+`psum` collectives."""
+
+from .mesh import make_mesh
+from .ntt import ShardedNTT
+
+__all__ = ["make_mesh", "ShardedNTT"]

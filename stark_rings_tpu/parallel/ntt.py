@@ -1,0 +1,242 @@
+"""Sharded four-step (Bailey) NTT: one all_to_all per transform.
+
+Degree-N (nega)cyclic NTT decomposed as an N1 x N2 matrix
+(n = n1*N2 + n2, row-major):
+
+    1. (negacyclic only) twist      x *= psi^n                   local
+    2. column NTTs of size N1       (cyclic, leaf order)         local
+    3. twiddle  *= omega^(k1 * n2)                               local
+    4. transpose [N1, N2/P] -> [N1/P, N2]    = ONE all_to_all    ICI
+    5. row NTTs of size N2          (cyclic, leaf order)         local
+
+The inverse runs the mirror.  Output lives in a fixed product permutation
+(col-leaf x row-leaf) — pointwise ring multiplication is exact in that
+order, so no bit-reversal data movement ever happens on device.
+
+This is the TPU-native generalization of the reference's butterfly-stage
+dataflow (goldilocks/ntt.rs:146-225), which the BASELINE asks to scale to
+degree 2^20 across hosts: the all_to_all rides ICI within a slice / DCN
+across hosts, everything else is VPU-local.
+
+Shard layout: data is the [..., N1, N2] matrix view of the coefficient
+vector, sharded over the LAST axis (columns, n2) on a 1-D mesh axis; after
+``forward`` the result is sharded over the second-to-last axis instead
+(rows = col-leaf indices).  ``mul`` composes forward/pointwise/inverse and
+returns the original layout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..fields import get_field
+from ..ops.ntt import NTTContext, find_primitive_root
+
+__all__ = ["ShardedNTT"]
+
+
+class ShardedNTT:
+    def __init__(self, field_name: str, N: int, n_devices: int,
+                 negacyclic: bool = True, axis: str = "x"):
+        f = get_field(field_name)
+        assert N & (N - 1) == 0
+        logN = N.bit_length() - 1
+        N1 = 1 << (logN // 2)
+        N2 = N // N1
+        Pn = n_devices
+        assert N1 % Pn == 0 and N2 % Pn == 0, \
+            f"P={Pn} must divide N1={N1} and N2={N2}"
+        assert (f.q - 1) % (2 * N) == 0
+        self.f = f
+        self.N, self.N1, self.N2, self.P = N, N1, N2, Pn
+        self.axis = axis
+        self.negacyclic = negacyclic
+        self.col_ctx = NTTContext(f, N1, negacyclic=False)
+        self.row_ctx = NTTContext(f, N2, negacyclic=False)
+        g = find_primitive_root(f.q)
+        self.psi_int = pow(g, (f.q - 1) // (2 * N), f.q)
+        self.omega_int = pow(self.psi_int, 2, f.q)
+        # col-leaf -> k1 (cyclic leaf exponents are even: k = e/2)
+        self.k1_leaf = np.array([e // 2 for e in self.col_ctx.leaf_exps],
+                                dtype=np.int64)
+        self._consts = None
+
+    def consts(self):
+        """Device constant tables (built eagerly, cached)."""
+        if self._consts is None:
+            with jax.ensure_compile_time_eval():
+                f, N = self.f, self.N
+                omega_pows = self._pow_table(self.omega_int, N)
+                omega_inv_pows = self._pow_table(
+                    pow(self.omega_int, f.q - 2, f.q), N)
+                tw = itw = None
+                if self.negacyclic:
+                    psi_pows = self._pow_table(self.psi_int, 2 * N)
+                    ipsi_pows = self._pow_table(
+                        pow(self.psi_int, f.q - 2, f.q), 2 * N)
+                    colt = f.take_coeff(psi_pows, np.arange(self.N1)
+                                        * self.N2 % (2 * N))
+                    rowt = f.take_coeff(psi_pows, np.arange(self.N2))
+                    icolt = f.take_coeff(ipsi_pows, np.arange(self.N1)
+                                         * self.N2 % (2 * N))
+                    irowt = f.take_coeff(ipsi_pows, np.arange(self.N2))
+                    tw = (jax.device_get(colt), jax.device_get(rowt))
+                    itw = (jax.device_get(icolt), jax.device_get(irowt))
+                self._consts = (jax.device_get(omega_pows),
+                                jax.device_get(omega_inv_pows), tw, itw)
+        return self._consts
+
+    def _pow_table(self, base_int: int, n: int):
+        f = self.f
+        tab = jnp.stack([jnp.asarray(f.const(1)),
+                         jnp.asarray(f.const(base_int))], axis=0)
+        while tab.shape[0] < n:
+            top = f.mul(tab, jnp.asarray(f.const(
+                pow(base_int, tab.shape[0], f.q))))
+            tab = jnp.concatenate([tab, top], axis=0)
+        return tab[:n]
+
+    # -- local helpers (run inside shard_map) -----------------------------
+    def _col_ofs(self):
+        C = self.N2 // self.P
+        return jax.lax.axis_index(self.axis) * C
+
+    def _apply_on_axis(self, ctx_fn, x, axis_from_end: int):
+        """Apply an NTT over an inner axis by moving it last."""
+        f = self.f
+        nd = 1 if f.limbed else 0
+        ax = x.ndim - axis_from_end - nd
+        xm = jnp.moveaxis(x, ax, x.ndim - 1 - nd)
+        ym = ctx_fn(xm)
+        return jnp.moveaxis(ym, x.ndim - 1 - nd, ax)
+
+    def _twiddle(self, rows_k1, cols_global_idx, omega_pows):
+        """omega^(k1*n2) gathered from the power table."""
+        idx = (rows_k1[:, None] * cols_global_idx[None, :]) % self.N
+        return jnp.take(jnp.asarray(omega_pows), idx, axis=0)
+
+    def _local_forward(self, x):
+        """x: [..., N1, C(, L)] columns shard -> [..., N1/P, N2(, L)]."""
+        f = self.f
+        omega_pows, _, tw, _ = self.consts()
+        nd = 1 if f.limbed else 0
+        C = self.N2 // self.P
+        ofs = self._col_ofs()
+        cols = ofs + jnp.arange(C, dtype=jnp.int64)
+        if self.negacyclic:
+            colt, rowt = tw
+            rslice = jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(rowt), ofs, C, axis=0)
+            colt = jnp.asarray(colt)
+            tfac = f.mul(_expand_col(colt, nd), _expand_row(rslice, nd))
+            x = f.mul(x, tfac)
+        # column NTT over axis N1 (second from elem end)
+        x = self._apply_on_axis(self.col_ctx.forward, x, 2)
+        # twiddle omega^(k1_leaf * n2)
+        T = self._twiddle(jnp.asarray(self.k1_leaf), cols, omega_pows)
+        x = f.mul(x, T)
+        # transpose via all_to_all: [.., N1, C] -> [.., N1/P, N2]
+        nd_axis = x.ndim - 2 - nd
+        x = jax.lax.all_to_all(x, self.axis, split_axis=nd_axis,
+                               concat_axis=nd_axis + 1, tiled=True)
+        # row NTT over the last (N2) axis
+        x = self._apply_on_axis(self.row_ctx.forward, x, 1)
+        return x
+
+    def _local_inverse(self, y):
+        """[..., N1/P, N2(, L)] -> [..., N1, C(, L)]."""
+        f = self.f
+        _, omega_inv_pows, _, itw = self.consts()
+        nd = 1 if f.limbed else 0
+        C = self.N2 // self.P
+        R = self.N1 // self.P
+        y = self._apply_on_axis(self.row_ctx.inverse, y, 1)
+        # inverse twiddle for the LOCAL row block of k1 leaves
+        row_ofs = jax.lax.axis_index(self.axis) * R
+        k1_local = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(self.k1_leaf), row_ofs, R, axis=0)
+        cols_all = jnp.arange(self.N2, dtype=jnp.int64)
+        Ti = self._twiddle(k1_local, cols_all, omega_inv_pows)
+        y = f.mul(y, Ti)
+        # transpose back: [.., N1/P, N2] -> [.., N1, C]
+        nd_axis = y.ndim - 2 - nd
+        y = jax.lax.all_to_all(y, self.axis, split_axis=nd_axis + 1,
+                               concat_axis=nd_axis, tiled=True)
+        y = self._apply_on_axis(self.col_ctx.inverse, y, 2)
+        if self.negacyclic:
+            icolt, irowt = itw
+            ofs = self._col_ofs()
+            rslice = jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(irowt), ofs, C, axis=0)
+            tfac = f.mul(_expand_col(jnp.asarray(icolt), nd),
+                         _expand_row(rslice, nd))
+            y = f.mul(y, tfac)
+        return y
+
+    def _local_forward_tw(self, x):
+        """forward with the inverse twiddle order fix (see _local_inverse):
+        kept alias for symmetry."""
+        return self._local_forward(x)
+
+    # -- public jitted entry points ---------------------------------------
+    def shard_specs(self, batch_ndim: int = 0):
+        """(coeff_spec, eval_spec): PartitionSpecs for the matrix layout."""
+        nd = 1 if self.f.limbed else 0
+        lead = (None,) * batch_ndim
+        tail = (None,) * nd
+        return (P(*lead, None, self.axis, *tail),
+                P(*lead, self.axis, None, *tail))
+
+    def make_fns(self, mesh: Mesh, batch_ndim: int = 0):
+        """Returns (forward, inverse, mul) jitted over the mesh.
+
+        forward: [..., N1, N2] col-sharded -> [..., N1, N2] row-sharded
+        (leaf-order evaluations); mul keeps the coefficient layout."""
+        self.consts()
+        cspec, espec = self.shard_specs(batch_ndim)
+
+        fwd = jax.jit(jax.shard_map(
+            self._local_forward, mesh=mesh, in_specs=(cspec,),
+            out_specs=espec))
+        inv = jax.jit(jax.shard_map(
+            self._local_inverse, mesh=mesh, in_specs=(espec,),
+            out_specs=cspec))
+
+        def local_mul(a, b):
+            fa = self._local_forward(a)
+            fb = self._local_forward(b)
+            return self._local_inverse(self.f.mul(fa, fb))
+
+        mul = jax.jit(jax.shard_map(
+            local_mul, mesh=mesh, in_specs=(cspec, cspec), out_specs=cspec))
+        return fwd, inv, mul
+
+    # -- host-side helpers -------------------------------------------------
+    def to_matrix(self, coeffs):
+        """[..., N(, L)] -> [..., N1, N2(, L)] (row-major n = n1*N2+n2)."""
+        nd = 1 if self.f.limbed else 0
+        s = coeffs.shape
+        return coeffs.reshape(s[: len(s) - 1 - nd] + (self.N1, self.N2)
+                              + self.f.limb_shape)
+
+    def from_matrix(self, m):
+        nd = 1 if self.f.limbed else 0
+        s = m.shape
+        return m.reshape(s[: len(s) - 2 - nd] + (self.N,)
+                         + self.f.limb_shape)
+
+
+def _expand_col(colt, nd):
+    """[N1(,L)] -> [N1, 1(,L)] for broadcasting over columns."""
+    return colt[:, None, :] if nd else colt[:, None]
+
+
+def _expand_row(rowt, nd):
+    """[C(,L)] -> [C(,L)] (broadcasts over rows naturally)."""
+    return rowt

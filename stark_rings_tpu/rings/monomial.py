@@ -1,0 +1,84 @@
+"""Monomial algebra (reference crates/ring/src/monomial.rs:17-93):
+monomials, the psi table, exp/exp_signed, and the psi range check used by
+monomial range proofs."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..spec.field import sign as spec_sign, to_signed
+from .ring import RingModel
+
+__all__ = ["monomial", "unit_monomial", "zero_monomial", "psi", "exp",
+           "exp_signed", "psi_range_check", "MonomialError"]
+
+
+class MonomialError(ValueError):
+    """Mirror of MonomialError (monomial.rs:6-12)."""
+
+
+def monomial(ring: RingModel, i: int, coeff: int = 1, shape=()):
+    """coeff * X^i in coefficient form (monomial.rs:17-21)."""
+    out = np.zeros(tuple(shape) + (ring.D,), dtype=object)
+    out[..., i] = coeff % ring.q
+    return ring.encode_coeffs(out)
+
+
+def unit_monomial(ring: RingModel, i: int, shape=()):
+    return monomial(ring, i, 1, shape)
+
+
+def zero_monomial(ring: RingModel, shape=()):
+    return ring.zeros(shape)
+
+
+def psi(ring: RingModel):
+    """psi = sum_{i in [1, d')} i (X^{-i} + X^i), d' = d/2
+    (monomial.rs:36-48; X^{-i} contributes -X^{d-i})."""
+    q, D = ring.q, ring.D
+    d_prime = D // 2
+    out = np.zeros(D, dtype=object)
+    for i in range(1, d_prime):
+        out[i] = (out[i] + i) % q
+        out[D - i] = (out[D - i] - i) % q
+    return ring.encode_coeffs(out)
+
+
+def exp(ring: RingModel, a: int):
+    """exp(a) = X^{center(a)} if sign(a) = +1 else X^{d - center(a)}
+    (monomial.rs:55-65).  `a` is a canonical base-field integer."""
+    q, D = ring.q, ring.D
+    centered = abs(to_signed(a, q))
+    if centered >= D and spec_sign(a, q) == 1:
+        raise MonomialError(f"exponent {centered} out of monomial range")
+    if spec_sign(a, q) == 1:
+        return unit_monomial(ring, centered)
+    if D - centered >= D:
+        raise MonomialError(f"exponent {D - centered} out of range")
+    return unit_monomial(ring, D - centered)
+
+
+def exp_signed(ring: RingModel, a: int):
+    """exp_signed(a) = sign(a) * X^{center(a)} (monomial.rs:71-76)."""
+    q = ring.q
+    centered = abs(to_signed(a, q))
+    if centered >= ring.D:
+        raise MonomialError(f"exponent {centered} out of monomial range")
+    return monomial(ring, centered, spec_sign(a, q))
+
+
+def ct(ring: RingModel, x):
+    """Constant term (CoeffRing::ct, poly_ring.rs:19-42)."""
+    f = ring.field
+    return f.take_coeff(x, np.array(0, dtype=np.int32))
+
+
+def psi_range_check(ring: RingModel, a: int) -> bool:
+    """ct(psi * exp(a)) == a  <=>  a in (-d', d')  (monomial.rs:82-93)."""
+    try:
+        b = exp(ring, a)
+    except MonomialError:
+        return False
+    prod = ring.coeff_mul(psi(ring), b)
+    c = ring.field.decode(ct(ring, prod))
+    return int(c) == a % ring.q

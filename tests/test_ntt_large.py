@@ -1,0 +1,115 @@
+"""Large power-of-two NTT tests (BASELINE configs 1/2): roundtrip +
+ring-mul vs python-int schoolbook oracles at several sizes/fields."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+from stark_rings_tpu.fields import get_field
+from stark_rings_tpu.ops.ntt import find_primitive_root, get_ntt
+
+
+def _negacyclic_mul_ints(a, b, q):
+    n = len(a)
+    out = [0] * n
+    for i, x in enumerate(a):
+        if not x:
+            continue
+        for j, y in enumerate(b):
+            k = i + j
+            if k < n:
+                out[k] = (out[k] + x * y) % q
+            else:
+                out[k - n] = (out[k - n] - x * y) % q
+    return out
+
+
+def _cyclic_mul_ints(a, b, q):
+    n = len(a)
+    out = [0] * n
+    for i, x in enumerate(a):
+        if not x:
+            continue
+        for j, y in enumerate(b):
+            out[(i + j) % n] = (out[(i + j) % n] + x * y) % q
+    return out
+
+
+def test_primitive_roots():
+    for name in ("goldilocks", "babybear", "frog", "stark_prime"):
+        f = get_field(name)
+        g = find_primitive_root(f.q)
+        assert pow(g, f.q - 1, f.q) == 1
+        # nontrivial in the 2-Sylow subgroup
+        two_adic = (f.q - 1) & -(f.q - 1)
+        assert pow(g, (f.q - 1) // 2, f.q) == f.q - 1
+        assert two_adic >= 8
+
+
+@pytest.mark.parametrize("name,N", [
+    ("goldilocks", 64), ("goldilocks", 256),
+    ("babybear", 64), ("stark_prime", 16),
+])
+def test_negacyclic_roundtrip_and_mul(name, N):
+    f = get_field(name)
+    ctx = get_ntt(name, N, negacyclic=True)
+    rng = random.Random(40)
+    a_i = [rng.randrange(f.q) for _ in range(N)]
+    b_i = [rng.randrange(f.q) for _ in range(N)]
+    a = f.encode(np.array(a_i, dtype=object))
+    b = f.encode(np.array(b_i, dtype=object))
+    back = f.decode(jax.jit(lambda x: ctx.inverse(ctx.forward(x)))(a))
+    assert [int(v) for v in back] == a_i
+    got = f.decode(jax.jit(ctx.mul)(a, b))
+    assert [int(v) for v in got] == _negacyclic_mul_ints(a_i, b_i, f.q)
+
+
+@pytest.mark.parametrize("name,N", [("goldilocks", 128), ("babybear", 32)])
+def test_cyclic_mul(name, N):
+    f = get_field(name)
+    ctx = get_ntt(name, N, negacyclic=False)
+    rng = random.Random(41)
+    a_i = [rng.randrange(f.q) for _ in range(N)]
+    b_i = [rng.randrange(f.q) for _ in range(N)]
+    a = f.encode(np.array(a_i, dtype=object))
+    b = f.encode(np.array(b_i, dtype=object))
+    got = f.decode(jax.jit(ctx.mul)(a, b))
+    assert [int(v) for v in got] == _cyclic_mul_ints(a_i, b_i, f.q)
+
+
+def test_negacyclic_batched_big():
+    """Batched deg-2^12 goldilocks mul == oracle on one row; jit once."""
+    f = get_field("goldilocks")
+    N = 1 << 12
+    ctx = get_ntt("goldilocks", N)
+    rng = random.Random(42)
+    batch = 4
+    a_i = [[rng.randrange(f.q) for _ in range(N)] for _ in range(batch)]
+    b_i = [[rng.randrange(f.q) for _ in range(N)] for _ in range(batch)]
+    a = f.encode(np.array(a_i, dtype=object))
+    b = f.encode(np.array(b_i, dtype=object))
+    got = f.decode(jax.jit(ctx.mul)(a, b))
+    want = _negacyclic_mul_ints(a_i[1], b_i[1], f.q)
+    assert [int(v) for v in got[1]] == want
+
+
+def test_leaf_order_is_permutation_of_evaluations():
+    """Leaf order semantics: forward(x)[i] == x(psi^leaf_exps[i])."""
+    f = get_field("goldilocks")
+    N = 16
+    ctx = get_ntt("goldilocks", N)
+    rng = random.Random(43)
+    a_i = [rng.randrange(f.q) for _ in range(N)]
+    a = f.encode(np.array(a_i, dtype=object))
+    got = [int(v) for v in f.decode(ctx.forward(a))]
+    q = f.q
+    for i, e in enumerate(ctx.leaf_exps):
+        # leaf block X - psi^(e/2): evaluation at psi^(e/2)
+        z = pow(ctx.psi_int, e // 2, q)
+        want = 0
+        for j in reversed(range(N)):
+            want = (want * z + a_i[j]) % q
+        assert got[i] == want, i

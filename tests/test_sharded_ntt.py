@@ -1,0 +1,92 @@
+"""Sharded four-step NTT tests on a virtual 8-device CPU mesh
+(the multi-chip tests the reference lacks — SURVEY.md §4 implication (e))."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+from stark_rings_tpu.fields import get_field
+from stark_rings_tpu.ops.ntt import get_ntt
+from stark_rings_tpu.parallel import ShardedNTT, make_mesh
+
+
+def _negacyclic_mul_ints(a, b, q):
+    n = len(a)
+    out = [0] * n
+    for i, x in enumerate(a):
+        if x:
+            for j, y in enumerate(b):
+                k = i + j
+                if k < n:
+                    out[k] = (out[k] + x * y) % q
+                else:
+                    out[k - n] = (out[k - n] - x * y) % q
+    return out
+
+
+@pytest.mark.parametrize("name,N,Pn", [
+    ("goldilocks", 256, 4),
+    ("goldilocks", 1024, 8),
+    ("babybear", 1024, 8),
+])
+def test_sharded_mul_matches_oracle(name, N, Pn):
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    f = get_field(name)
+    mesh = make_mesh(Pn)
+    sn = ShardedNTT(name, N, Pn)
+    fwd, inv, mul = sn.make_fns(mesh)
+    rng = random.Random(50)
+    a_i = [rng.randrange(f.q) for _ in range(N)]
+    b_i = [rng.randrange(f.q) for _ in range(N)]
+    a = sn.to_matrix(np.asarray(f.encode(np.array(a_i, dtype=object))))
+    b = sn.to_matrix(np.asarray(f.encode(np.array(b_i, dtype=object))))
+    got = f.decode(sn.from_matrix(np.asarray(jax.device_get(mul(a, b)))))
+    assert [int(v) for v in got] == _negacyclic_mul_ints(a_i, b_i, f.q)
+
+
+def test_sharded_roundtrip_and_matches_single_chip():
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    name, N = "goldilocks", 512
+    f = get_field(name)
+    mesh = make_mesh(Pn)
+    sn = ShardedNTT(name, N, Pn)
+    fwd, inv, mul = sn.make_fns(mesh)
+    rng = random.Random(51)
+    a_i = [rng.randrange(f.q) for _ in range(N)]
+    a = sn.to_matrix(np.asarray(f.encode(np.array(a_i, dtype=object))))
+    back = f.decode(sn.from_matrix(np.asarray(jax.device_get(inv(fwd(a))))))
+    assert [int(v) for v in back] == a_i
+    # forward evals are a permutation of the single-chip negacyclic evals
+    single = get_ntt(name, N, negacyclic=True)
+    ev_single = sorted(int(v) for v in f.decode(
+        single.forward(f.encode(np.array(a_i, dtype=object)))))
+    ev_shard = sorted(int(v) for v in f.decode(
+        sn.from_matrix(np.asarray(jax.device_get(fwd(a))))))
+    assert ev_single == ev_shard
+
+
+def test_sharded_batched():
+    Pn = 4
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    name, N = "goldilocks", 256
+    f = get_field(name)
+    mesh = make_mesh(Pn)
+    sn = ShardedNTT(name, N, Pn)
+    _, _, mul = sn.make_fns(mesh, batch_ndim=1)
+    rng = random.Random(52)
+    B = 3
+    a_i = [[rng.randrange(f.q) for _ in range(N)] for _ in range(B)]
+    b_i = [[rng.randrange(f.q) for _ in range(N)] for _ in range(B)]
+    a = sn.to_matrix(np.asarray(f.encode(np.array(a_i, dtype=object))))
+    b = sn.to_matrix(np.asarray(f.encode(np.array(b_i, dtype=object))))
+    got = f.decode(sn.from_matrix(np.asarray(jax.device_get(mul(a, b)))))
+    for t in range(B):
+        assert [int(v) for v in got[t]] == \
+            _negacyclic_mul_ints(a_i[t], b_i[t], f.q)
