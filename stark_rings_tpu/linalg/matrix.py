@@ -92,6 +92,18 @@ class Matrix:
         prod = self.e.mul(self.vals, v[None])
         return self.e.sum(prod, axis=1)
 
+    def gadget_decompose(self, b: int, k: int):
+        """n x m -> n x (k*m) balanced gadget decomposition
+        (balanced_decomposition/mod.rs:276-298)."""
+        from ..decomp import gadget_decompose as gd
+
+        return Matrix(self.e, gd(self.e.f, self.vals, b, k))
+
+    def gadget_recompose(self, b: int, k: int):
+        from ..decomp import gadget_recompose as gr
+
+        return Matrix(self.e, gr(self.e.f, self.vals, b, k))
+
     def mul_mat(self, other):
         """checked_mul_mat: [n,k]+e @ [k,m]+e -> [n,m]+e."""
         assert self.ncols == other.nrows, "DifferentLengths"

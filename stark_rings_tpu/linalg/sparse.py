@@ -156,6 +156,40 @@ class SparseMatrix:
         prod = self.e.mul(self.data[:, None], bg)
         return f.segment_sum(prod, self.rows, self.nrows)
 
+    # -- gadget decomposition (balanced_decomposition/mod.rs:311-352) ----
+    def gadget_decompose(self, b: int, k: int):
+        """n x m -> n x (k*m): entry (r, c, v) expands to k entries
+        (r, c*k + j, digit_j(v)); zeros keep the static nnz*k layout
+        (the reference's retain() is a CPU memory optimization)."""
+        from ..decomp import decompose, decompose_ring
+
+        f = self.e.f
+        ringlike = getattr(self.e, "ring", None) is not None
+        dig = (decompose_ring if ringlike else decompose)(
+            f, self.data, b, k)                   # [nnz, k, ...]
+        data = dig.reshape((self.nnz * k,) + dig.shape[2:])
+        rows = jnp.repeat(self.rows, k)
+        cols = (self.cols[:, None] * k
+                + jnp.arange(k, dtype=jnp.int32)[None, :]).reshape(-1)
+        return SparseMatrix(self.e, self.nrows, self.ncols * k, data,
+                            rows, cols)
+
+    def gadget_recompose(self, b: int, k: int):
+        """n x (k*m) -> n x m: scale entry by b^(c mod k), c //= k
+        (duplicates are summed by the segment-sum semantics)."""
+        f = self.e.f
+        pows_np = np.stack([np.asarray(f.encode(
+            np.array(pow(b, j, f.q), dtype=object))) for j in range(k)],
+            axis=0)
+        j = self.cols % k
+        scale = jnp.take(jnp.asarray(pows_np), j, axis=0)   # [nnz(,L)]
+        if getattr(self.e, "ring", None) is not None:
+            # broadcast the base-field scalar over the D axis
+            scale = scale[:, None, :] if f.limbed else scale[:, None]
+        data = f.mul(self.data, scale)
+        return SparseMatrix(self.e, self.nrows, self.ncols // k, data,
+                            self.rows, self.cols // k)
+
     def mul_sparse(self, other):
         """sparse·sparse (sparse_matrix.rs:219-275) — dense accumulator."""
         assert self.ncols == other.nrows, "DifferentLengths"

@@ -1,0 +1,314 @@
+"""Pallas TPU kernels for the Goldilocks NTT hot path.
+
+The jnp path emulates uint64 through XLA and materializes every butterfly
+stage to HBM; these kernels instead:
+
+* keep field elements as two u32 planes (lo, hi) — native VPU words, no
+  int64 emulation;
+* run ALL log2(N) stages of a transform inside VMEM (one HBM read + one
+  HBM write per transform), with the fused ring-multiply kernel doing
+  fwd(a), fwd(b), pointwise, inv in a single kernel — zero intermediate
+  HBM traffic;
+* use the classic Goldilocks 128-bit reduction (2^64 = 2^32 - 1,
+  2^96 = -1) in u32 pair arithmetic.
+
+Twiddle layout matches the stage recursion of ops/ntt.py: one [N] table,
+stage s (with m = 2^s blocks) reads entries [m, 2m) — bit-exact with the
+jnp path (tests compare against NTTContext and the integer spec).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ntt import NTTContext
+
+__all__ = ["GoldilocksPallasNTT"]
+
+_Q = 2**64 - 2**32 + 1
+_Q_LO = np.uint32(1)
+_Q_HI = np.uint32(0xFFFFFFFF)
+_EPS = np.uint32(0xFFFFFFFF)  # 2^64 mod q = 2^32 - 1
+
+
+# ---------------------------------------------------------------------------
+# u32 pair arithmetic (values are (lo, hi) pairs of uint32 arrays)
+# ---------------------------------------------------------------------------
+
+
+def _u32(x):
+    return jnp.uint32(x)
+
+
+def _mul32(a, b):
+    """32x32 -> 64 as (lo, hi) via 16-bit splits (VPU-native muls)."""
+    m16 = _u32(0xFFFF)
+    a0 = a & m16
+    a1 = a >> 16
+    b0 = b & m16
+    b1 = b >> 16
+    ll = a0 * b0
+    m1 = a0 * b1
+    m2 = a1 * b0
+    hh = a1 * b1
+    mid = m1 + m2
+    carry_m = (mid < m1).astype(jnp.uint32)
+    lo = ll + (mid << 16)
+    carry_lo = (lo < ll).astype(jnp.uint32)
+    hi = hh + (mid >> 16) + (carry_m << 16) + carry_lo
+    return lo, hi
+
+
+def _pair_add(alo, ahi, blo, bhi):
+    """(a + b) mod 2^64 with carry-out."""
+    lo = alo + blo
+    c0 = (lo < alo).astype(jnp.uint32)
+    hi = ahi + bhi
+    c1 = (hi < ahi).astype(jnp.uint32)
+    hi2 = hi + c0
+    c2 = (hi2 < hi).astype(jnp.uint32)
+    return lo, hi2, c1 | c2
+
+
+def _pair_sub(alo, ahi, blo, bhi):
+    """(a - b) mod 2^64 with borrow-out."""
+    lo = alo - blo
+    b0 = (alo < blo).astype(jnp.uint32)
+    hi = ahi - bhi
+    b1 = (ahi < bhi).astype(jnp.uint32)
+    hi2 = hi - b0
+    b2 = (hi < b0).astype(jnp.uint32)
+    return lo, hi2, b1 | b2
+
+
+def _add_q(alo, ahi, blo, bhi):
+    """(a + b) mod q, canonical inputs/outputs."""
+    lo, hi, carry = _pair_add(alo, ahi, blo, bhi)
+    ge = (hi > _Q_HI) | ((hi == _Q_HI) & (lo >= _Q_LO))
+    red = (carry != 0) | ge
+    slo, shi, _ = _pair_sub(lo, hi, _Q_LO, _Q_HI)
+    return jnp.where(red, slo, lo), jnp.where(red, shi, hi)
+
+
+def _sub_q(alo, ahi, blo, bhi):
+    lo, hi, borrow = _pair_sub(alo, ahi, blo, bhi)
+    alo2, ahi2, _ = _pair_add(lo, hi, _Q_LO, _Q_HI)
+    neg = borrow != 0
+    return jnp.where(neg, alo2, lo), jnp.where(neg, ahi2, hi)
+
+
+def _reduce128(lo0, lo1, hi0, hi1):
+    """(hi1*2^96 + hi0*2^64 + lo1*2^32 + lo0) mod q — Goldilocks fold."""
+    # t = lo - hi1 (64-bit), wrap => subtract 2^32-1 once more
+    tlo, thi, br = _pair_sub(lo0, lo1, hi1, _u32(0))
+    t2lo, t2hi, _ = _pair_sub(tlo, thi, _EPS, _u32(0))
+    tlo = jnp.where(br != 0, t2lo, tlo)
+    thi = jnp.where(br != 0, t2hi, thi)
+    # t1 = hi0 * (2^32 - 1) = (hi0 << 32) - hi0
+    nz = (hi0 != 0).astype(jnp.uint32)
+    t1lo = _u32(0) - hi0
+    t1hi = hi0 - nz
+    # t2 = t + t1, wrap => add 2^32-1
+    slo, shi, carry = _pair_add(tlo, thi, t1lo, t1hi)
+    s2lo, s2hi, _ = _pair_add(slo, shi, _EPS, _u32(0))
+    slo = jnp.where(carry != 0, s2lo, slo)
+    shi = jnp.where(carry != 0, s2hi, shi)
+    # canonicalize
+    ge = (shi > _Q_HI) | ((shi == _Q_HI) & (slo >= _Q_LO))
+    clo, chi, _ = _pair_sub(slo, shi, _Q_LO, _Q_HI)
+    return jnp.where(ge, clo, slo), jnp.where(ge, chi, shi)
+
+
+def _mul_q(alo, ahi, blo, bhi):
+    """(a * b) mod q on canonical pairs."""
+    ll_lo, ll_hi = _mul32(alo, blo)
+    lh_lo, lh_hi = _mul32(alo, bhi)
+    hl_lo, hl_hi = _mul32(ahi, blo)
+    hh_lo, hh_hi = _mul32(ahi, bhi)
+    # 128-bit accumulate
+    s1 = ll_hi + lh_lo
+    c1 = (s1 < ll_hi).astype(jnp.uint32)
+    s2 = s1 + hl_lo
+    c2 = (s2 < s1).astype(jnp.uint32)
+    lo1 = s2
+    carry_mid = c1 + c2
+    t1 = lh_hi + hl_hi
+    d1 = (t1 < lh_hi).astype(jnp.uint32)
+    t2 = t1 + hh_lo
+    d2 = (t2 < t1).astype(jnp.uint32)
+    t3 = t2 + carry_mid
+    d3 = (t3 < t2).astype(jnp.uint32)
+    hi0 = t3
+    hi1 = hh_hi + d1 + d2 + d3
+    return _reduce128(ll_lo, lo1, hi0, hi1)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel NTT stage loops
+# ---------------------------------------------------------------------------
+
+
+def _fwd_stages(xlo, xhi, wlo, whi, N, logN):
+    """All forward stages on [rows, N] planes; twiddles [N] planes."""
+    rows = xlo.shape[0]
+    for s in range(logN):
+        m = 1 << s
+        t = N >> (s + 1)
+        vlo = xlo.reshape(rows, m, 2, t)
+        vhi = xhi.reshape(rows, m, 2, t)
+        alo, blo = vlo[:, :, 0], vlo[:, :, 1]
+        ahi, bhi = vhi[:, :, 0], vhi[:, :, 1]
+        swlo = jax.lax.slice_in_dim(wlo, m, 2 * m)[None, :, None]
+        swhi = jax.lax.slice_in_dim(whi, m, 2 * m)[None, :, None]
+        plo, phi = _mul_q(blo, bhi, jnp.broadcast_to(swlo, blo.shape),
+                          jnp.broadcast_to(swhi, bhi.shape))
+        y0lo, y0hi = _add_q(alo, ahi, plo, phi)
+        y1lo, y1hi = _sub_q(alo, ahi, plo, phi)
+        xlo = jnp.stack([y0lo, y1lo], axis=2).reshape(rows, N)
+        xhi = jnp.stack([y0hi, y1hi], axis=2).reshape(rows, N)
+    return xlo, xhi
+
+
+def _inv_stages(xlo, xhi, wlo, whi, N, logN, ninv_lo, ninv_hi):
+    rows = xlo.shape[0]
+    for s in reversed(range(logN)):
+        m = 1 << s
+        t = N >> (s + 1)
+        vlo = xlo.reshape(rows, m, 2, t)
+        vhi = xhi.reshape(rows, m, 2, t)
+        alo, blo = vlo[:, :, 0], vlo[:, :, 1]
+        ahi, bhi = vhi[:, :, 0], vhi[:, :, 1]
+        y0lo, y0hi = _add_q(alo, ahi, blo, bhi)
+        dlo, dhi = _sub_q(alo, ahi, blo, bhi)
+        swlo = jax.lax.slice_in_dim(wlo, m, 2 * m)[None, :, None]
+        swhi = jax.lax.slice_in_dim(whi, m, 2 * m)[None, :, None]
+        y1lo, y1hi = _mul_q(dlo, dhi, jnp.broadcast_to(swlo, dlo.shape),
+                            jnp.broadcast_to(swhi, dhi.shape))
+        xlo = jnp.stack([y0lo, y1lo], axis=2).reshape(rows, N)
+        xhi = jnp.stack([y0hi, y1hi], axis=2).reshape(rows, N)
+    nl = jnp.broadcast_to(ninv_lo, xlo.shape)
+    nh = jnp.broadcast_to(ninv_hi, xhi.shape)
+    return _mul_q(xlo, xhi, nl, nh)
+
+
+# ---------------------------------------------------------------------------
+# pallas wrappers
+# ---------------------------------------------------------------------------
+
+
+class GoldilocksPallasNTT:
+    """Fused negacyclic NTT / ring-mul kernels, bit-exact with NTTContext."""
+
+    def __init__(self, N: int, rows_per_block: int = 4,
+                 interpret: bool = False):
+        from ..fields import GOLDILOCKS
+
+        self.N = N
+        self.logN = N.bit_length() - 1
+        self.rows = rows_per_block
+        self.interpret = interpret
+        self.ctx = NTTContext(GOLDILOCKS, N, negacyclic=True)
+        fwd, inv, n_inv = self.ctx.tables()
+        # stage tables -> one [N] array in the m+i layout
+        wf = np.zeros(N, dtype=np.uint64)
+        wi = np.zeros(N, dtype=np.uint64)
+        for s, tab in enumerate(fwd):
+            wf[(1 << s):(2 << s)] = np.asarray(tab)
+        for s, tab in enumerate(inv):
+            wi[(1 << s):(2 << s)] = np.asarray(tab)
+        self.wf_lo = (wf & 0xFFFFFFFF).astype(np.uint32)
+        self.wf_hi = (wf >> 32).astype(np.uint32)
+        self.wi_lo = (wi & 0xFFFFFFFF).astype(np.uint32)
+        self.wi_hi = (wi >> 32).astype(np.uint32)
+        ninv = int(n_inv)
+        self.ninv_lo = np.uint32(ninv & 0xFFFFFFFF)
+        self.ninv_hi = np.uint32(ninv >> 32)
+
+    # -- plane conversion (free bitcasts) -------------------------------
+    @staticmethod
+    def to_planes(x):
+        v = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        return v[..., 0], v[..., 1]
+
+    @staticmethod
+    def from_planes(lo, hi):
+        v = jnp.stack([lo, hi], axis=-1)
+        return jax.lax.bitcast_convert_type(v, jnp.uint64)
+
+    def _call(self, kernel, n_in, a_planes):
+        N, R = self.N, self.rows
+        B = a_planes[0].shape[0]
+        pad = (-B) % R
+        if pad:
+            a_planes = tuple(
+                jnp.concatenate([p, jnp.zeros((pad, N), p.dtype)], axis=0)
+                for p in a_planes)
+        Bp = B + pad
+        grid = (Bp // R,)
+        row_spec = pl.BlockSpec((R, N), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        w_spec = pl.BlockSpec((N,), lambda i: (0,),
+                              memory_space=pltpu.VMEM)
+        w_args = (self.wf_lo, self.wf_hi, self.wi_lo, self.wi_hi)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[row_spec] * n_in + [w_spec] * 4,
+            out_specs=(row_spec, row_spec),
+            out_shape=(jax.ShapeDtypeStruct((Bp, N), jnp.uint32),
+                       jax.ShapeDtypeStruct((Bp, N), jnp.uint32)),
+            interpret=self.interpret,
+        )(*a_planes, *w_args)
+        lo, hi = out
+        if pad:
+            lo, hi = lo[:B], hi[:B]
+        return lo, hi
+
+    # -- kernels ----------------------------------------------------------
+    def _fwd_kernel(self, xlo_ref, xhi_ref, wfl, wfh, wil, wih,
+                    olo_ref, ohi_ref):
+        lo, hi = _fwd_stages(xlo_ref[:], xhi_ref[:], wfl[:], wfh[:],
+                             self.N, self.logN)
+        olo_ref[:] = lo
+        ohi_ref[:] = hi
+
+    def _inv_kernel(self, xlo_ref, xhi_ref, wfl, wfh, wil, wih,
+                    olo_ref, ohi_ref):
+        lo, hi = _inv_stages(xlo_ref[:], xhi_ref[:], wil[:], wih[:],
+                             self.N, self.logN, self.ninv_lo, self.ninv_hi)
+        olo_ref[:] = lo
+        ohi_ref[:] = hi
+
+    def _mul_kernel(self, alo_ref, ahi_ref, blo_ref, bhi_ref,
+                    wfl, wfh, wil, wih, olo_ref, ohi_ref):
+        falo, fahi = _fwd_stages(alo_ref[:], ahi_ref[:], wfl[:], wfh[:],
+                                 self.N, self.logN)
+        fblo, fbhi = _fwd_stages(blo_ref[:], bhi_ref[:], wfl[:], wfh[:],
+                                 self.N, self.logN)
+        plo, phi = _mul_q(falo, fahi, fblo, fbhi)
+        lo, hi = _inv_stages(plo, phi, wil[:], wih[:],
+                             self.N, self.logN, self.ninv_lo, self.ninv_hi)
+        olo_ref[:] = lo
+        ohi_ref[:] = hi
+
+    # -- public ops (u64 in / u64 out, batched [B, N]) --------------------
+    def forward(self, x):
+        lo, hi = self._call(self._fwd_kernel, 2, self.to_planes(x))
+        return self.from_planes(lo, hi)
+
+    def inverse(self, x):
+        lo, hi = self._call(self._inv_kernel, 2, self.to_planes(x))
+        return self.from_planes(lo, hi)
+
+    def mul(self, a, b):
+        al, ah = self.to_planes(a)
+        bl, bh = self.to_planes(b)
+        lo, hi = self._call(self._mul_kernel, 4, (al, ah, bl, bh))
+        return self.from_planes(lo, hi)

@@ -1,0 +1,118 @@
+"""Large power-of-two negacyclic rings Fq[X]/(X^N + 1) — the scaled-up
+generalization the BASELINE configs demand (deg 2^12..2^20), with the same
+capability surface as the small reference models (fully-splitting NTT form,
+like stark_prime's D=16 model, generalized to any power of two).
+
+Duck-compatible with :class:`RingModel` where it matters (field, D,
+crt/icrt/ntt_mul/coeff_mul/from_scalar/rand), so linalg matrices and MLEs
+of big ring elements work unchanged via the RingElems adapter."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..fields import get_field
+from ..ops.ntt import NTTContext
+
+__all__ = ["PowerRing", "get_power_ring"]
+
+
+class PowerRing:
+    """Fully-splitting negacyclic ring: NTT form = leaf-order evaluations,
+    slot field = Fq (E=1, N slots = D)."""
+
+    def __init__(self, field_name: str, logN: int):
+        self.field = get_field(field_name)
+        self.name = f"{field_name}_pow2_{logN}"
+        self.q = self.field.q
+        self.D = 1 << logN
+        self.N = self.D
+        self.E = 1
+        self.ctx = NTTContext(self.field, self.D, negacyclic=True)
+
+    # -- conversions ------------------------------------------------------
+    def encode_coeffs(self, ints):
+        arr = np.asarray(ints, dtype=object)
+        assert arr.shape[-1] == self.D
+        return self.field.encode(arr)
+
+    def decode(self, x):
+        return self.field.decode(x)
+
+    def rand_coeff(self, shape, rng):
+        return self.field.rand(tuple(shape) + (self.D,), rng)
+
+    rand_ntt = rand_coeff
+
+    def zeros(self, shape=()):
+        return self.field.zeros(tuple(shape) + (self.D,))
+
+    def from_scalar_coeff(self, v, shape=()):
+        out = np.zeros(tuple(shape) + (self.D,), dtype=object)
+        out[..., 0] = v % self.q
+        return self.encode_coeffs(out)
+
+    def from_scalar_ntt(self, v, shape=()):
+        out = np.empty(tuple(shape) + (self.D,), dtype=object)
+        out[...] = v % self.q
+        return self.encode_coeffs(out)
+
+    # -- ring ops ---------------------------------------------------------
+    def add(self, a, b):
+        return self.field.add(a, b)
+
+    def sub(self, a, b):
+        return self.field.sub(a, b)
+
+    def neg(self, a):
+        return self.field.neg(a)
+
+    def crt(self, x):
+        return self.ctx.forward(x)
+
+    def icrt(self, x):
+        return self.ctx.inverse(x)
+
+    def ntt_mul(self, a, b):
+        return self.field.mul(a, b)
+
+    mul_unchecked = ntt_mul
+
+    def coeff_mul(self, a, b):
+        return self.ctx.mul(a, b)
+
+    def ntt_inv(self, a):
+        return self.field.inv(a)
+
+    def rot(self, a):
+        """Multiply by X: negacyclic shift."""
+        f = self.field
+        D = self.D
+        last = f.take_coeff(a, np.arange(D - 1, D, dtype=np.int32))
+        rest = f.take_coeff(a, np.arange(0, D - 1, dtype=np.int32))
+        return jnp.concatenate([f.neg(last), rest], axis=f.coeff_axis)
+
+    def flatten(self, x):
+        f = self.field
+        batch = x.shape[: x.ndim - (2 if f.limbed else 1) - 1]
+        n = x.shape[-2 - (1 if f.limbed else 0)]
+        return x.reshape(batch + (n * self.D,) + f.limb_shape)
+
+    def promote(self, x):
+        f = self.field
+        batch = x.shape[: x.ndim - (1 if f.limbed else 0) - 1]
+        nd = x.shape[-1 - (1 if f.limbed else 0)]
+        assert nd % self.D == 0
+        return x.reshape(batch + (nd // self.D, self.D) + f.limb_shape)
+
+
+_POWER = {}
+
+
+def get_power_ring(field_name: str, logN: int) -> PowerRing:
+    key = (field_name, logN)
+    if key not in _POWER:
+        _POWER[key] = PowerRing(field_name, logN)
+    return _POWER[key]

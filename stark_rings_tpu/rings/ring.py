@@ -180,10 +180,10 @@ class RingModel:
             return f.mul(a, b)
         perm, inv_perm, idx, fac = self._ext_tables
         N, E = self.N, self.E
-        batch = a.shape[: a.ndim - (2 if f.limbed else 1)]
+        off = 2 if f.limbed else 1
         limb = f.limb_shape
-        a = a.reshape(batch + (N, E) + limb)
-        b = b.reshape(batch + (N, E) + limb)
+        a = a.reshape(a.shape[: a.ndim - off] + (N, E) + limb)
+        b = b.reshape(b.shape[: b.ndim - off] + (N, E) + limb)
         a_deg = f.take_coeff(a, perm)
         b_deg = f.take_coeff(b, perm)
         # bg[..., n, i, k] = b_deg[..., n, (k-i)%E]

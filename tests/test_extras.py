@@ -1,0 +1,224 @@
+"""Tests for power rings, sampling, monomials, norms, serialization,
+matrix gadget ops, and representatives."""
+
+import random
+
+import numpy as np
+import pytest
+
+from stark_rings_tpu.decomp.norms import l2_norm_squared, linf_norm_exact
+from stark_rings_tpu.decomp.representatives import (
+    SignedRepresentative,
+    UnsignedRepresentative,
+)
+from stark_rings_tpu.fields import get_field
+from stark_rings_tpu.linalg import FieldElems, Matrix, RingElems, SparseMatrix
+from stark_rings_tpu.rings import get_ring
+from stark_rings_tpu.rings.monomial import (
+    exp,
+    exp_signed,
+    monomial,
+    psi,
+    psi_range_check,
+    unit_monomial,
+)
+from stark_rings_tpu.rings.power import get_power_ring
+from stark_rings_tpu.rings.sampling import (
+    is_invertible,
+    sample_short,
+    sample_short_invertible,
+)
+from stark_rings_tpu.spec.decomp import to_signed
+from stark_rings_tpu.utils import (
+    elements_from_bytes,
+    elements_to_bytes,
+    vec_from_bytes,
+    vec_to_bytes,
+)
+
+
+# -- monomials (reference monomial.rs:95-135) ---------------------------
+
+def test_monomial_ops():
+    """frog RqPoly monomial test (monomial.rs:101-118): X^2 * X^15 = -X."""
+    ring = get_ring("frog")
+    q = ring.q
+    x2 = unit_monomial(ring, 2)
+    x15 = unit_monomial(ring, 15)
+    prod = ring.decode(ring.coeff_mul(x2, x15))
+    want = [0] * 16
+    want[1] = q - 1
+    assert [int(v) for v in prod] == want
+    two_x2 = ring.decode(ring.add(x2, x2))
+    assert int(two_x2[2]) == 2
+
+
+def test_monomial_range_check():
+    """monomial.rs:120-134: psi range check passes iff a in (-d', d')."""
+    ring = get_ring("frog")  # D = 16, d' = 8
+    q = ring.q
+    assert psi_range_check(ring, 1)
+    assert psi_range_check(ring, 7)
+    assert not psi_range_check(ring, 8)
+    assert psi_range_check(ring, q - 1)      # -1
+    assert not psi_range_check(ring, q - 8)  # -8
+
+
+def test_exp_signed():
+    ring = get_ring("frog")
+    q = ring.q
+    # exp(-3) = X^{d-3}
+    e = ring.decode(exp(ring, q - 3))
+    assert int(e[ring.D - 3]) == 1
+    es = ring.decode(exp_signed(ring, q - 3))
+    assert int(es[3]) == q - 1
+
+
+# -- power rings ---------------------------------------------------------
+
+@pytest.mark.parametrize("name,logN", [("goldilocks", 6), ("babybear", 7)])
+def test_power_ring_mul_and_linalg(name, logN):
+    ring = get_power_ring(name, logN)
+    q = ring.q
+    rng = random.Random(60)
+    a_i = [rng.randrange(q) for _ in range(ring.D)]
+    b_i = [rng.randrange(q) for _ in range(ring.D)]
+    a = ring.encode_coeffs(np.array(a_i, dtype=object))
+    b = ring.encode_coeffs(np.array(b_i, dtype=object))
+    # negacyclic oracle
+    want = [0] * ring.D
+    for i, x in enumerate(a_i):
+        for j, y in enumerate(b_i):
+            k = i + j
+            if k < ring.D:
+                want[k] = (want[k] + x * y) % q
+            else:
+                want[k - ring.D] = (want[k - ring.D] - x * y) % q
+    got = [int(v) for v in ring.decode(ring.coeff_mul(a, b))]
+    assert got == want
+    # ntt roundtrip + matvec over power-ring elements
+    na = ring.crt(a)
+    assert [int(v) for v in ring.decode(ring.icrt(na))] == a_i
+    e = RingElems(ring)
+    M = Matrix.identity(e, 2)
+    v = np.stack([np.asarray(na), np.asarray(na)])
+    out = M.mul_vec(v)
+    assert (np.asarray(out) == np.asarray(v)).all()
+
+
+def test_power_ring_rot():
+    ring = get_power_ring("goldilocks", 4)
+    q = ring.q
+    one_x = np.zeros(16, dtype=object)
+    one_x[15] = 1
+    r = ring.decode(ring.rot(ring.encode_coeffs(one_x)))
+    assert int(r[0]) == q - 1  # X * X^15 = -1
+
+
+# -- sampling ------------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["goldilocks", "frog"])
+def test_sample_short_and_invertible(name):
+    ring = get_ring(name)
+    rng = random.Random(61)
+    x = sample_short(ring, (5,), rng, 2)
+    dec = ring.decode(x)
+    q = ring.q
+    for row in dec:
+        for v in row:
+            assert abs(to_signed(int(v), q)) <= 2
+    inv_mask = is_invertible(ring, x)
+    assert inv_mask.shape == (5,)
+    y = sample_short_invertible(ring, rng, 3)
+    assert bool(np.asarray(is_invertible(ring, y)))
+    # zero is not invertible
+    z = ring.zeros(())
+    assert not bool(np.asarray(is_invertible(ring, z)))
+
+
+# -- norms ---------------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["goldilocks", "stark_prime"])
+def test_norms(name):
+    f = get_field(name)
+    q = f.q
+    vals = [1, q - 2, (q - 1) // 2, 0]
+    x = f.encode(np.array(vals, dtype=object))
+    signed = [to_signed(v, q) for v in vals]
+    assert l2_norm_squared(f, x) == sum(s * s for s in signed)
+    assert linf_norm_exact(f, x) == max(abs(s) for s in signed)
+
+
+# -- serialization -------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["goldilocks", "babybear", "frog",
+                                  "stark_prime"])
+def test_serialize_roundtrip(name):
+    f = get_field(name)
+    rng = random.Random(62)
+    vals = [rng.randrange(f.q) for _ in range(7)]
+    x = f.encode(np.array(vals, dtype=object))
+    data = vec_to_bytes(f, x, 7)
+    n, back = vec_from_bytes(f, data)
+    assert n == 7
+    assert [int(v) for v in f.decode(back)] == vals
+    raw = elements_to_bytes(f, x)
+    back2 = elements_from_bytes(f, raw, (7,))
+    assert [int(v) for v in f.decode(back2)] == vals
+
+
+# -- matrix gadget -------------------------------------------------------
+
+def test_dense_matrix_gadget_roundtrip():
+    ring = get_ring("goldilocks")
+    e = RingElems(ring)
+    rng = random.Random(63)
+    M = Matrix(e, np.asarray(ring.rand_ntt((3, 2), rng)))
+    G = M.gadget_decompose(256, 9)
+    assert G.ncols == 18
+    back = G.gadget_recompose(256, 9)
+    assert (np.asarray(back.vals) == np.asarray(M.vals)).all()
+
+
+def test_sparse_matrix_gadget_roundtrip():
+    ring = get_ring("goldilocks")
+    e = RingElems(ring)
+    rng = random.Random(64)
+    S = SparseMatrix.from_entries(
+        e, 3, 4,
+        [(0, 1, [5] * ring.D), (2, 3, [7] * ring.D)])
+    G = S.gadget_decompose(256, 9)
+    assert G.ncols == 36 and G.nnz == 2 * 9
+    back = G.gadget_recompose(256, 9)
+    got = back.to_dense().decode()
+    want = S.to_dense().decode()
+    for i in range(3):
+        for j in range(4):
+            assert list(got[i][j]) == list(want[i][j])
+
+
+def test_sparse_field_gadget_roundtrip():
+    f = get_field("babybear")
+    e = FieldElems(f)
+    rng = random.Random(65)
+    S = SparseMatrix.rand(e, 4, 3, 0.6, rng)
+    G = S.gadget_decompose(16, 8)
+    back = G.gadget_recompose(16, 8)
+    got = back.to_dense().decode()
+    want = S.to_dense().decode()
+    for i in range(4):
+        assert list(got[i]) == list(want[i])
+
+
+# -- representatives -----------------------------------------------------
+
+def test_representatives():
+    f = get_field("goldilocks")
+    s = SignedRepresentative.from_field(f, f.q - 3)
+    assert int(s) == -3
+    assert s.to_field_int(f) == f.q - 3
+    assert int(s + SignedRepresentative(5)) == 2
+    assert int(abs(s)) == 3
+    u = UnsignedRepresentative(7)
+    assert int(u * u) == 49
+    assert int(u ^ UnsignedRepresentative(1)) == 6

@@ -107,8 +107,8 @@ def test_leaf_order_is_permutation_of_evaluations():
     got = [int(v) for v in f.decode(ctx.forward(a))]
     q = f.q
     for i, e in enumerate(ctx.leaf_exps):
-        # leaf block X - psi^(e/2): evaluation at psi^(e/2)
-        z = pow(ctx.psi_int, e // 2, q)
+        # leaf block X - psi^e: evaluation at psi^e
+        z = pow(ctx.psi_int, e, q)
         want = 0
         for j in reversed(range(N)):
             want = (want * z + a_i[j]) % q
