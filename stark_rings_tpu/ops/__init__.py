@@ -1,8 +1,8 @@
-"""Derived kernel tables and generic ops (CRT stage tables, large-degree
-NTTs).  The CRT dataflow of the reference's hand-unrolled kernels
-(goldilocks/ntt.rs etc.) is represented here as data — 2-term sparse linear
-stages — applied as batched gathers + modular muls."""
+"""Derived kernel tables and generic ops: CRT stage tables, large-degree
+NTTs, and Pallas TPU kernels for the hot paths."""
 
+from .ntt import NTTContext, find_primitive_root, get_ntt
 from .stages import StageTable, derive_linear_table, derive_stage_tables
 
-__all__ = ["StageTable", "derive_linear_table", "derive_stage_tables"]
+__all__ = ["StageTable", "derive_linear_table", "derive_stage_tables",
+           "NTTContext", "get_ntt", "find_primitive_root"]

@@ -206,7 +206,7 @@ def _inv_stages(xlo, xhi, wlo, whi, N, logN, ninv_lo, ninv_hi):
 class GoldilocksPallasNTT:
     """Fused negacyclic NTT / ring-mul kernels, bit-exact with NTTContext."""
 
-    def __init__(self, N: int, rows_per_block: int = 4,
+    def __init__(self, N: int, rows_per_block: int = 8,
                  interpret: bool = False):
         from ..fields import GOLDILOCKS
 
@@ -308,7 +308,36 @@ class GoldilocksPallasNTT:
         return self.from_planes(lo, hi)
 
     def mul(self, a, b):
+        """Fused single-kernel ring multiply (VMEM-bound at large N)."""
         al, ah = self.to_planes(a)
         bl, bh = self.to_planes(b)
         lo, hi = self._call(self._mul_kernel, 4, (al, ah, bl, bh))
         return self.from_planes(lo, hi)
+
+    def _pointwise_kernel(self, alo_ref, ahi_ref, blo_ref, bhi_ref,
+                          olo_ref, ohi_ref):
+        lo, hi = _mul_q(alo_ref[:], ahi_ref[:], blo_ref[:], bhi_ref[:])
+        olo_ref[:] = lo
+        ohi_ref[:] = hi
+
+    def pointwise(self, fa, fb):
+        """Elementwise mulmod on u64 tensors (any shape, last dim N)."""
+        al, ah = self.to_planes(fa)
+        bl, bh = self.to_planes(fb)
+        shape = al.shape
+        out = pl.pallas_call(
+            self._pointwise_kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct(shape, jnp.uint32),
+                       jax.ShapeDtypeStruct(shape, jnp.uint32)),
+            interpret=self.interpret,
+        )(al, ah, bl, bh)
+        return self.from_planes(*out)
+
+    def mul_composite(self, a, b):
+        """fwd + fwd + pointwise + inv as separate kernels — fits VMEM at
+        any N (each kernel holds one operand)."""
+        return self.inverse(self.pointwise(self.forward(a),
+                                           self.forward(b)))
