@@ -155,44 +155,110 @@ def _mul_q(alo, ahi, blo, bhi):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_stages(xlo, xhi, wlo, whi, N, logN):
-    """All forward stages on [rows, N] planes; twiddles [N] planes."""
+# The lane (last) dimension on TPU is 128 wide; Mosaic cannot reshape
+# across it.  Stages with butterfly distance t >= _LANE run in the direct
+# [rows, N] layout; the last 7 stages (t < _LANE) run in a transposed
+# [rows, _LANE, C] layout (C = N/_LANE) where the splits touch only
+# sublane axes.  Their twiddles come from per-stage [m_local, C] tables
+# (host-precomputed: entry [i_local, c] = table[m + c*m_local + i_local]).
+_LANE = 128
+
+
+def _n_small(N, logN):
+    return min(logN, _LANE.bit_length() - 1)  # 7 for N >= 128
+
+
+def _butterfly_fwd(alo, ahi, blo, bhi, swlo, swhi):
+    plo, phi = _mul_q(blo, bhi, jnp.broadcast_to(swlo, blo.shape),
+                      jnp.broadcast_to(swhi, bhi.shape))
+    y0lo, y0hi = _add_q(alo, ahi, plo, phi)
+    y1lo, y1hi = _sub_q(alo, ahi, plo, phi)
+    return y0lo, y0hi, y1lo, y1hi
+
+
+def _butterfly_inv(alo, ahi, blo, bhi, swlo, swhi):
+    y0lo, y0hi = _add_q(alo, ahi, blo, bhi)
+    dlo, dhi = _sub_q(alo, ahi, blo, bhi)
+    y1lo, y1hi = _mul_q(dlo, dhi, jnp.broadcast_to(swlo, dlo.shape),
+                        jnp.broadcast_to(swhi, dhi.shape))
+    return y0lo, y0hi, y1lo, y1hi
+
+
+def _big_stage(xlo, xhi, wlo, whi, N, s, bf):
     rows = xlo.shape[0]
-    for s in range(logN):
-        m = 1 << s
-        t = N >> (s + 1)
-        vlo = xlo.reshape(rows, m, 2, t)
-        vhi = xhi.reshape(rows, m, 2, t)
-        alo, blo = vlo[:, :, 0], vlo[:, :, 1]
-        ahi, bhi = vhi[:, :, 0], vhi[:, :, 1]
-        swlo = jax.lax.slice_in_dim(wlo, m, 2 * m)[None, :, None]
-        swhi = jax.lax.slice_in_dim(whi, m, 2 * m)[None, :, None]
-        plo, phi = _mul_q(blo, bhi, jnp.broadcast_to(swlo, blo.shape),
-                          jnp.broadcast_to(swhi, bhi.shape))
-        y0lo, y0hi = _add_q(alo, ahi, plo, phi)
-        y1lo, y1hi = _sub_q(alo, ahi, plo, phi)
-        xlo = jnp.stack([y0lo, y1lo], axis=2).reshape(rows, N)
-        xhi = jnp.stack([y0hi, y1hi], axis=2).reshape(rows, N)
+    m = 1 << s
+    t = N >> (s + 1)
+    vlo = xlo.reshape(rows, m, 2, t)
+    vhi = xhi.reshape(rows, m, 2, t)
+    swlo = jax.lax.slice_in_dim(wlo, m, 2 * m)[None, :, None]
+    swhi = jax.lax.slice_in_dim(whi, m, 2 * m)[None, :, None]
+    y0lo, y0hi, y1lo, y1hi = bf(vlo[:, :, 0], vhi[:, :, 0],
+                                vlo[:, :, 1], vhi[:, :, 1], swlo, swhi)
+    xlo = jnp.stack([y0lo, y1lo], axis=2).reshape(rows, N)
+    xhi = jnp.stack([y0hi, y1hi], axis=2).reshape(rows, N)
     return xlo, xhi
 
 
-def _inv_stages(xlo, xhi, wlo, whi, N, logN, ninv_lo, ninv_hi):
+def _small_stage(tlo, thi, ws_lo, ws_hi, N, s, logN, bf):
+    """One stage in transposed layout [rows, LANE, C]."""
+    rows, _, C = tlo.shape
+    t = N >> (s + 1)
+    m_local = _LANE // (2 * t)
+    vlo = tlo.reshape(rows, m_local, 2, t, C)
+    vhi = thi.reshape(rows, m_local, 2, t, C)
+    swlo = ws_lo[:m_local][None, :, None, :]
+    swhi = ws_hi[:m_local][None, :, None, :]
+    y0lo, y0hi, y1lo, y1hi = bf(vlo[:, :, 0], vhi[:, :, 0],
+                                vlo[:, :, 1], vhi[:, :, 1], swlo, swhi)
+    tlo = jnp.stack([y0lo, y1lo], axis=2).reshape(rows, _LANE, C)
+    thi = jnp.stack([y0hi, y1hi], axis=2).reshape(rows, _LANE, C)
+    return tlo, thi
+
+
+def _to_transposed(xlo, xhi, N):
     rows = xlo.shape[0]
-    for s in reversed(range(logN)):
-        m = 1 << s
-        t = N >> (s + 1)
-        vlo = xlo.reshape(rows, m, 2, t)
-        vhi = xhi.reshape(rows, m, 2, t)
-        alo, blo = vlo[:, :, 0], vlo[:, :, 1]
-        ahi, bhi = vhi[:, :, 0], vhi[:, :, 1]
-        y0lo, y0hi = _add_q(alo, ahi, blo, bhi)
-        dlo, dhi = _sub_q(alo, ahi, blo, bhi)
-        swlo = jax.lax.slice_in_dim(wlo, m, 2 * m)[None, :, None]
-        swhi = jax.lax.slice_in_dim(whi, m, 2 * m)[None, :, None]
-        y1lo, y1hi = _mul_q(dlo, dhi, jnp.broadcast_to(swlo, dlo.shape),
-                            jnp.broadcast_to(swhi, dhi.shape))
-        xlo = jnp.stack([y0lo, y1lo], axis=2).reshape(rows, N)
-        xhi = jnp.stack([y0hi, y1hi], axis=2).reshape(rows, N)
+    C = N // _LANE
+    tlo = jnp.swapaxes(xlo.reshape(rows, C, _LANE), 1, 2)
+    thi = jnp.swapaxes(xhi.reshape(rows, C, _LANE), 1, 2)
+    return tlo, thi
+
+
+def _from_transposed(tlo, thi, N):
+    rows = tlo.shape[0]
+    C = N // _LANE
+    xlo = jnp.swapaxes(tlo, 1, 2).reshape(rows, N)
+    xhi = jnp.swapaxes(thi, 1, 2).reshape(rows, N)
+    return xlo, xhi
+
+
+def _fwd_stages(xlo, xhi, wlo, whi, wsl, wsh, N, logN):
+    """Full forward transform: big stages direct, small transposed.
+
+    wsl/wsh: [n_small, 64, C] padded per-stage tables (stage k at index k,
+    rows [0, m_local))."""
+    ns = _n_small(N, logN)
+    for s in range(logN - ns):
+        xlo, xhi = _big_stage(xlo, xhi, wlo, whi, N, s, _butterfly_fwd)
+    if ns == 0:
+        return xlo, xhi
+    tlo, thi = _to_transposed(xlo, xhi, N)
+    for k, s in enumerate(range(logN - ns, logN)):
+        tlo, thi = _small_stage(tlo, thi, wsl[k], wsh[k], N, s, logN,
+                                _butterfly_fwd)
+    return _from_transposed(tlo, thi, N)
+
+
+def _inv_stages(xlo, xhi, wlo, whi, wsl, wsh, N, logN, ninv_lo, ninv_hi):
+    ns = _n_small(N, logN)
+    if ns:
+        tlo, thi = _to_transposed(xlo, xhi, N)
+        for k, s in zip(reversed(range(ns)),
+                        reversed(range(logN - ns, logN))):
+            tlo, thi = _small_stage(tlo, thi, wsl[k], wsh[k], N, s, logN,
+                                    _butterfly_inv)
+        xlo, xhi = _from_transposed(tlo, thi, N)
+    for s in reversed(range(logN - ns)):
+        xlo, xhi = _big_stage(xlo, xhi, wlo, whi, N, s, _butterfly_inv)
     nl = jnp.broadcast_to(ninv_lo, xlo.shape)
     nh = jnp.broadcast_to(ninv_hi, xhi.shape)
     return _mul_q(xlo, xhi, nl, nh)
@@ -230,6 +296,30 @@ class GoldilocksPallasNTT:
         ninv = int(n_inv)
         self.ninv_lo = np.uint32(ninv & 0xFFFFFFFF)
         self.ninv_hi = np.uint32(ninv >> 32)
+        # per-small-stage tables [ns, 64, C]: [k, i_local, c] =
+        # table[m + c*m_local + i_local] for stage s = logN - ns + k
+        ns = _n_small(N, self.logN)
+        self.ns = ns
+        C = max(N // _LANE, 1)
+        self.C = C
+
+        def small(tab64):
+            out = np.zeros((max(ns, 1), 64, C), dtype=np.uint64)
+            for k in range(ns):
+                sg = self.logN - ns + k
+                m = 1 << sg
+                t = N >> (sg + 1)
+                m_local = _LANE // (2 * t)
+                sl = tab64[m:2 * m].reshape(C, m_local)
+                out[k, :m_local, :] = sl.T
+            return out
+
+        sf = small(wf)
+        si = small(wi)
+        self.wsf_lo = (sf & 0xFFFFFFFF).astype(np.uint32)
+        self.wsf_hi = (sf >> 32).astype(np.uint32)
+        self.wsi_lo = (si & 0xFFFFFFFF).astype(np.uint32)
+        self.wsi_hi = (si >> 32).astype(np.uint32)
 
     # -- plane conversion (free bitcasts) -------------------------------
     @staticmethod
@@ -256,11 +346,15 @@ class GoldilocksPallasNTT:
                                 memory_space=pltpu.VMEM)
         w_spec = pl.BlockSpec((N,), lambda i: (0,),
                               memory_space=pltpu.VMEM)
-        w_args = (self.wf_lo, self.wf_hi, self.wi_lo, self.wi_hi)
+        ws_spec = pl.BlockSpec((max(self.ns, 1), 64, self.C),
+                               lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        w_args = (self.wf_lo, self.wf_hi, self.wi_lo, self.wi_hi,
+                  self.wsf_lo, self.wsf_hi, self.wsi_lo, self.wsi_hi)
         out = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[row_spec] * n_in + [w_spec] * 4,
+            in_specs=[row_spec] * n_in + [w_spec] * 4 + [ws_spec] * 4,
             out_specs=(row_spec, row_spec),
             out_shape=(jax.ShapeDtypeStruct((Bp, N), jnp.uint32),
                        jax.ShapeDtypeStruct((Bp, N), jnp.uint32)),
@@ -273,28 +367,36 @@ class GoldilocksPallasNTT:
 
     # -- kernels ----------------------------------------------------------
     def _fwd_kernel(self, xlo_ref, xhi_ref, wfl, wfh, wil, wih,
-                    olo_ref, ohi_ref):
+                    sfl, sfh, sil, sih, olo_ref, ohi_ref):
         lo, hi = _fwd_stages(xlo_ref[:], xhi_ref[:], wfl[:], wfh[:],
-                             self.N, self.logN)
+                             sfl[:], sfh[:], self.N, self.logN)
         olo_ref[:] = lo
         ohi_ref[:] = hi
 
     def _inv_kernel(self, xlo_ref, xhi_ref, wfl, wfh, wil, wih,
-                    olo_ref, ohi_ref):
+                    sfl, sfh, sil, sih, olo_ref, ohi_ref):
         lo, hi = _inv_stages(xlo_ref[:], xhi_ref[:], wil[:], wih[:],
-                             self.N, self.logN, self.ninv_lo, self.ninv_hi)
+                             sil[:], sih[:], self.N, self.logN,
+                             self.ninv_lo, self.ninv_hi)
         olo_ref[:] = lo
         ohi_ref[:] = hi
 
     def _mul_kernel(self, alo_ref, ahi_ref, blo_ref, bhi_ref,
-                    wfl, wfh, wil, wih, olo_ref, ohi_ref):
+                    wfl, wfh, wil, wih, sfl, sfh, sil, sih,
+                    olo_ref, ohi_ref):
         falo, fahi = _fwd_stages(alo_ref[:], ahi_ref[:], wfl[:], wfh[:],
-                                 self.N, self.logN)
+                                 sfl[:], sfh[:], self.N, self.logN)
         fblo, fbhi = _fwd_stages(blo_ref[:], bhi_ref[:], wfl[:], wfh[:],
-                                 self.N, self.logN)
+                                 sfl[:], sfh[:], self.N, self.logN)
         plo, phi = _mul_q(falo, fahi, fblo, fbhi)
-        lo, hi = _inv_stages(plo, phi, wil[:], wih[:],
+        lo, hi = _inv_stages(plo, phi, wil[:], wih[:], sil[:], sih[:],
                              self.N, self.logN, self.ninv_lo, self.ninv_hi)
+        olo_ref[:] = lo
+        ohi_ref[:] = hi
+
+    def _pointwise_kernel(self, alo_ref, ahi_ref, blo_ref, bhi_ref,
+                          olo_ref, ohi_ref):
+        lo, hi = _mul_q(alo_ref[:], ahi_ref[:], blo_ref[:], bhi_ref[:])
         olo_ref[:] = lo
         ohi_ref[:] = hi
 
@@ -314,14 +416,8 @@ class GoldilocksPallasNTT:
         lo, hi = self._call(self._mul_kernel, 4, (al, ah, bl, bh))
         return self.from_planes(lo, hi)
 
-    def _pointwise_kernel(self, alo_ref, ahi_ref, blo_ref, bhi_ref,
-                          olo_ref, ohi_ref):
-        lo, hi = _mul_q(alo_ref[:], ahi_ref[:], blo_ref[:], bhi_ref[:])
-        olo_ref[:] = lo
-        ohi_ref[:] = hi
-
     def pointwise(self, fa, fb):
-        """Elementwise mulmod on u64 tensors (any shape, last dim N)."""
+        """Elementwise mulmod on u64 tensors."""
         al, ah = self.to_planes(fa)
         bl, bh = self.to_planes(fb)
         shape = al.shape
