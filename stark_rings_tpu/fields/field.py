@@ -172,6 +172,34 @@ class Field:
         """Elementwise inverse via Fermat (x != 0)."""
         return self.pow_const(x, self.q - 2)
 
+    def square_table(self, g):
+        """[bits] table of g^(2^i) (Ring::pow_with_table precompute,
+        ring.rs:13-117)."""
+        out = [g]
+        for _ in range(self.bits - 1):
+            out.append(self.mul(out[-1], out[-1]))
+        return out
+
+    def pow_with_table(self, table, e: int):
+        """g^e from a square table (static exponent)."""
+        acc = None
+        i = 0
+        while e:
+            if e & 1:
+                acc = table[i] if acc is None else self.mul(acc, table[i])
+            e >>= 1
+            i += 1
+        return acc if acc is not None else self.const(1)
+
+    def from_random_bytes(self, data: bytes):
+        """FromRandomBytes semantics (ring.rs:119-135): interpret the
+        first serialized-size bytes little-endian; None if >= q."""
+        nb = (self.bits + 7) // 8
+        if len(data) < nb:
+            return None
+        v = int.from_bytes(data[:nb], "little")
+        return v if v < self.q else None
+
     def select(self, cond, a, b):
         """where(cond, a, b) with cond broadcast over limbs if needed."""
         if self.limbed:

@@ -199,6 +199,11 @@ def _big_stage(xlo, xhi, wlo, whi, N, s, bf):
     return xlo, xhi
 
 
+# stages with butterfly distance below this use the roll path (degenerate
+# tiny reshapes crash the Mosaic compiler)
+_ROLL_T = 4
+
+
 def _small_stage(tlo, thi, ws_lo, ws_hi, N, s, logN, bf):
     """One stage in transposed layout [rows, LANE, C]."""
     rows, _, C = tlo.shape
@@ -213,6 +218,59 @@ def _small_stage(tlo, thi, ws_lo, ws_hi, N, s, logN, bf):
     tlo = jnp.stack([y0lo, y1lo], axis=2).reshape(rows, _LANE, C)
     thi = jnp.stack([y0hi, y1hi], axis=2).reshape(rows, _LANE, C)
     return tlo, thi
+
+
+def _roll_stage_fwd(tlo, thi, we_lo, we_hi, N, s):
+    """t < _ROLL_T forward stage via sublane rolls + masked select.
+
+    Partner of sublane p is p ^ t (pairs within aligned 2t blocks):
+      first half:  y = x + w * partner
+      second half: y = partner - w * x
+    we_*: per-element twiddle [LANE, C] (constant within each block).
+    """
+    t = N >> (s + 1)
+    rows, L, C = tlo.shape
+    sub = jax.lax.broadcasted_iota(jnp.uint32, (1, L, 1), 1)
+    first = (sub & jnp.uint32(t)) == 0
+    pl_lo = jnp.concatenate([tlo[:, t:, :], tlo[:, :t, :]], axis=1)
+    pl_hi = jnp.concatenate([thi[:, t:, :], thi[:, :t, :]], axis=1)
+    pr_lo = jnp.concatenate([tlo[:, L - t:, :], tlo[:, :L - t, :]], axis=1)
+    pr_hi = jnp.concatenate([thi[:, L - t:, :], thi[:, :L - t, :]], axis=1)
+    part_lo = jnp.where(first, pl_lo, pr_lo)
+    part_hi = jnp.where(first, pl_hi, pr_hi)
+    op_lo = jnp.where(first, part_lo, tlo)
+    op_hi = jnp.where(first, part_hi, thi)
+    wb_lo, wb_hi = _mul_q(op_lo, op_hi,
+                          jnp.broadcast_to(we_lo[None], op_lo.shape),
+                          jnp.broadcast_to(we_hi[None], op_hi.shape))
+    add_lo, add_hi = _add_q(tlo, thi, wb_lo, wb_hi)
+    sub_lo, sub_hi = _sub_q(part_lo, part_hi, wb_lo, wb_hi)
+    return (jnp.where(first, add_lo, sub_lo),
+            jnp.where(first, add_hi, sub_hi))
+
+
+def _roll_stage_inv(tlo, thi, we_lo, we_hi, N, s):
+    """t < _ROLL_T inverse stage:
+      first half:  y = x + partner
+      second half: y = w^-1 * (partner - x)
+    """
+    t = N >> (s + 1)
+    rows, L, C = tlo.shape
+    sub = jax.lax.broadcasted_iota(jnp.uint32, (1, L, 1), 1)
+    first = (sub & jnp.uint32(t)) == 0
+    pl_lo = jnp.concatenate([tlo[:, t:, :], tlo[:, :t, :]], axis=1)
+    pl_hi = jnp.concatenate([thi[:, t:, :], thi[:, :t, :]], axis=1)
+    pr_lo = jnp.concatenate([tlo[:, L - t:, :], tlo[:, :L - t, :]], axis=1)
+    pr_hi = jnp.concatenate([thi[:, L - t:, :], thi[:, :L - t, :]], axis=1)
+    part_lo = jnp.where(first, pl_lo, pr_lo)
+    part_hi = jnp.where(first, pl_hi, pr_hi)
+    add_lo, add_hi = _add_q(tlo, thi, part_lo, part_hi)
+    d_lo, d_hi = _sub_q(part_lo, part_hi, tlo, thi)
+    m_lo, m_hi = _mul_q(d_lo, d_hi,
+                        jnp.broadcast_to(we_lo[None], d_lo.shape),
+                        jnp.broadcast_to(we_hi[None], d_hi.shape))
+    return (jnp.where(first, add_lo, m_lo),
+            jnp.where(first, add_hi, m_hi))
 
 
 def _to_transposed(xlo, xhi, N):
@@ -231,31 +289,47 @@ def _from_transposed(tlo, thi, N):
     return xlo, xhi
 
 
-def _fwd_stages(xlo, xhi, wlo, whi, wsl, wsh, N, logN):
-    """Full forward transform: big stages direct, small transposed.
+def _fwd_stages(xlo, xhi, wlo, whi, wsl, wsh, wrl, wrh, N, logN):
+    """Full forward transform: big stages direct, small transposed,
+    tiniest (t < _ROLL_T) via rolls.
 
-    wsl/wsh: [n_small, 64, C] padded per-stage tables (stage k at index k,
-    rows [0, m_local))."""
+    wsl/wsh: [n_small, 64, C] per-stage tables; wrl/wrh: [n_roll, LANE, C]
+    expanded per-element tables for the roll stages."""
     ns = _n_small(N, logN)
     for s in range(logN - ns):
         xlo, xhi = _big_stage(xlo, xhi, wlo, whi, N, s, _butterfly_fwd)
     if ns == 0:
         return xlo, xhi
     tlo, thi = _to_transposed(xlo, xhi, N)
+    r = 0
     for k, s in enumerate(range(logN - ns, logN)):
-        tlo, thi = _small_stage(tlo, thi, wsl[k], wsh[k], N, s, logN,
-                                _butterfly_fwd)
+        t = N >> (s + 1)
+        if t >= _ROLL_T:
+            tlo, thi = _small_stage(tlo, thi, wsl[k], wsh[k], N, s, logN,
+                                    _butterfly_fwd)
+        else:
+            tlo, thi = _roll_stage_fwd(tlo, thi, wrl[r], wrh[r], N, s)
+            r += 1
     return _from_transposed(tlo, thi, N)
 
 
-def _inv_stages(xlo, xhi, wlo, whi, wsl, wsh, N, logN, ninv_lo, ninv_hi):
+def _inv_stages(xlo, xhi, wlo, whi, wsl, wsh, wrl, wrh, N, logN,
+                ninv_lo, ninv_hi):
     ns = _n_small(N, logN)
     if ns:
         tlo, thi = _to_transposed(xlo, xhi, N)
+        n_roll = sum(1 for s in range(logN - ns, logN)
+                     if (N >> (s + 1)) < _ROLL_T)
+        r = n_roll - 1
         for k, s in zip(reversed(range(ns)),
                         reversed(range(logN - ns, logN))):
-            tlo, thi = _small_stage(tlo, thi, wsl[k], wsh[k], N, s, logN,
-                                    _butterfly_inv)
+            t = N >> (s + 1)
+            if t >= _ROLL_T:
+                tlo, thi = _small_stage(tlo, thi, wsl[k], wsh[k], N, s,
+                                        logN, _butterfly_inv)
+            else:
+                tlo, thi = _roll_stage_inv(tlo, thi, wrl[r], wrh[r], N, s)
+                r -= 1
         xlo, xhi = _from_transposed(tlo, thi, N)
     for s in reversed(range(logN - ns)):
         xlo, xhi = _big_stage(xlo, xhi, wlo, whi, N, s, _butterfly_inv)
@@ -321,6 +395,28 @@ class GoldilocksPallasNTT:
         self.wsi_lo = (si & 0xFFFFFFFF).astype(np.uint32)
         self.wsi_hi = (si >> 32).astype(np.uint32)
 
+        # roll stages (t < _ROLL_T): fully expanded [LANE, C] tables
+        roll_stages = [sg for sg in range(self.logN - ns, self.logN)
+                       if (N >> (sg + 1)) < _ROLL_T]
+        self.n_roll = len(roll_stages)
+
+        def expanded(tab64):
+            out = np.zeros((max(self.n_roll, 1), _LANE, C), dtype=np.uint64)
+            for r, sg in enumerate(roll_stages):
+                m = 1 << sg
+                t = N >> (sg + 1)
+                m_local = _LANE // (2 * t)
+                sl = tab64[m:2 * m].reshape(C, m_local)   # [c, i_local]
+                out[r] = np.repeat(sl.T, 2 * t, axis=0)   # [LANE, C]
+            return out
+
+        rf = expanded(wf)
+        ri = expanded(wi)
+        self.wrf_lo = (rf & 0xFFFFFFFF).astype(np.uint32)
+        self.wrf_hi = (rf >> 32).astype(np.uint32)
+        self.wri_lo = (ri & 0xFFFFFFFF).astype(np.uint32)
+        self.wri_hi = (ri >> 32).astype(np.uint32)
+
     # -- plane conversion (free bitcasts) -------------------------------
     @staticmethod
     def to_planes(x):
@@ -333,6 +429,9 @@ class GoldilocksPallasNTT:
         return jax.lax.bitcast_convert_type(v, jnp.uint64)
 
     def _call(self, kernel, n_in, a_planes):
+        # NOTE: gridded BlockSpecs around this kernel crash the Mosaic
+        # compiler on current TPU toolchains; whole-array specs compile
+        # fine, so batching is an unrolled chunk loop at the XLA level.
         N, R = self.N, self.rows
         B = a_planes[0].shape[0]
         pad = (-B) % R
@@ -341,56 +440,63 @@ class GoldilocksPallasNTT:
                 jnp.concatenate([p, jnp.zeros((pad, N), p.dtype)], axis=0)
                 for p in a_planes)
         Bp = B + pad
-        grid = (Bp // R,)
-        row_spec = pl.BlockSpec((R, N), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
-        w_spec = pl.BlockSpec((N,), lambda i: (0,),
-                              memory_space=pltpu.VMEM)
-        ws_spec = pl.BlockSpec((max(self.ns, 1), 64, self.C),
-                               lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM)
         w_args = (self.wf_lo, self.wf_hi, self.wi_lo, self.wi_hi,
-                  self.wsf_lo, self.wsf_hi, self.wsi_lo, self.wsi_hi)
-        out = pl.pallas_call(
+                  self.wsf_lo, self.wsf_hi, self.wsi_lo, self.wsi_hi,
+                  self.wrf_lo, self.wrf_hi, self.wri_lo, self.wri_hi)
+        whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+        pcall = pl.pallas_call(
             kernel,
-            grid=grid,
-            in_specs=[row_spec] * n_in + [w_spec] * 4 + [ws_spec] * 4,
-            out_specs=(row_spec, row_spec),
-            out_shape=(jax.ShapeDtypeStruct((Bp, N), jnp.uint32),
-                       jax.ShapeDtypeStruct((Bp, N), jnp.uint32)),
+            in_specs=[whole] * (n_in + 12),
+            out_specs=(whole, whole),
+            out_shape=(jax.ShapeDtypeStruct((R, N), jnp.uint32),
+                       jax.ShapeDtypeStruct((R, N), jnp.uint32)),
             interpret=self.interpret,
-        )(*a_planes, *w_args)
-        lo, hi = out
+        )
+        los, his = [], []
+        for g in range(Bp // R):
+            chunk = tuple(p[g * R:(g + 1) * R] for p in a_planes)
+            lo, hi = pcall(*chunk, *w_args)
+            los.append(lo)
+            his.append(hi)
+        lo = jnp.concatenate(los, axis=0) if len(los) > 1 else los[0]
+        hi = jnp.concatenate(his, axis=0) if len(his) > 1 else his[0]
         if pad:
             lo, hi = lo[:B], hi[:B]
         return lo, hi
 
     # -- kernels ----------------------------------------------------------
     def _fwd_kernel(self, xlo_ref, xhi_ref, wfl, wfh, wil, wih,
-                    sfl, sfh, sil, sih, olo_ref, ohi_ref):
+                    sfl, sfh, sil, sih, rfl, rfh, ril, rih,
+                    olo_ref, ohi_ref):
         lo, hi = _fwd_stages(xlo_ref[:], xhi_ref[:], wfl[:], wfh[:],
-                             sfl[:], sfh[:], self.N, self.logN)
+                             sfl[:], sfh[:], rfl[:], rfh[:],
+                             self.N, self.logN)
         olo_ref[:] = lo
         ohi_ref[:] = hi
 
     def _inv_kernel(self, xlo_ref, xhi_ref, wfl, wfh, wil, wih,
-                    sfl, sfh, sil, sih, olo_ref, ohi_ref):
+                    sfl, sfh, sil, sih, rfl, rfh, ril, rih,
+                    olo_ref, ohi_ref):
         lo, hi = _inv_stages(xlo_ref[:], xhi_ref[:], wil[:], wih[:],
-                             sil[:], sih[:], self.N, self.logN,
+                             sil[:], sih[:], ril[:], rih[:],
+                             self.N, self.logN,
                              self.ninv_lo, self.ninv_hi)
         olo_ref[:] = lo
         ohi_ref[:] = hi
 
     def _mul_kernel(self, alo_ref, ahi_ref, blo_ref, bhi_ref,
                     wfl, wfh, wil, wih, sfl, sfh, sil, sih,
-                    olo_ref, ohi_ref):
+                    rfl, rfh, ril, rih, olo_ref, ohi_ref):
         falo, fahi = _fwd_stages(alo_ref[:], ahi_ref[:], wfl[:], wfh[:],
-                                 sfl[:], sfh[:], self.N, self.logN)
+                                 sfl[:], sfh[:], rfl[:], rfh[:],
+                                 self.N, self.logN)
         fblo, fbhi = _fwd_stages(blo_ref[:], bhi_ref[:], wfl[:], wfh[:],
-                                 sfl[:], sfh[:], self.N, self.logN)
+                                 sfl[:], sfh[:], rfl[:], rfh[:],
+                                 self.N, self.logN)
         plo, phi = _mul_q(falo, fahi, fblo, fbhi)
         lo, hi = _inv_stages(plo, phi, wil[:], wih[:], sil[:], sih[:],
-                             self.N, self.logN, self.ninv_lo, self.ninv_hi)
+                             ril[:], rih[:], self.N, self.logN,
+                             self.ninv_lo, self.ninv_hi)
         olo_ref[:] = lo
         ohi_ref[:] = hi
 

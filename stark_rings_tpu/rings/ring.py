@@ -128,6 +128,27 @@ class RingModel:
     def zeros(self, shape=()):
         return self.field.zeros(tuple(shape) + (self.D,))
 
+    def from_coeff_list(self, ints):
+        """From<Vec<Fq>> semantics (coeff_form.rs:568-578): pad short
+        vectors with zeros, reduce longer ones mod Phi(X).  Host-side
+        constructor over python ints; lengths up to 2D-1."""
+        vals = [int(v) % self.q for v in ints]
+        if len(vals) < self.D:
+            vals = vals + [0] * (self.D - len(vals))
+        elif len(vals) > self.D:
+            assert len(vals) <= 2 * self.D, "coefficient list too long"
+            vals = self.spec.reduce(vals)
+        return self.encode_coeffs(np.array(vals, dtype=object))
+
+    def rot_iter(self, x, count=None):
+        """Cyclotomic::into_rot_iter (traits.rs:58-84): yields x, x*X,
+        x*X^2, ... (count defaults to the cyclotomic degree)."""
+        n = self.D if count is None else count
+        cur = x
+        for _ in range(n):
+            yield cur
+            cur = self.rot(cur)
+
     def from_scalar_coeff(self, v, shape=()):
         """Coefficient-form constant polynomial (coeff_form.rs:556-561)."""
         out = np.zeros(tuple(shape) + (self.D,), dtype=object)
