@@ -90,3 +90,22 @@ def test_sharded_batched():
     for t in range(B):
         assert [int(v) for v in got[t]] == \
             _negacyclic_mul_ints(a_i[t], b_i[t], f.q)
+
+
+@pytest.mark.slow
+def test_sharded_deg_2_20_roundtrip():
+    """BASELINE config 5 shape: deg-2^20 sharded NTT roundtrip on the
+    virtual 8-device mesh."""
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    name, N = "goldilocks", 1 << 20
+    f = get_field(name)
+    mesh = make_mesh(Pn)
+    sn = ShardedNTT(name, N, Pn)
+    fwd, inv, _ = sn.make_fns(mesh)
+    rng = np.random.default_rng(53)
+    a_np = rng.integers(0, f.q, size=(N,), dtype=np.uint64)
+    a = sn.to_matrix(a_np)
+    back = np.asarray(jax.device_get(inv(fwd(a))))
+    assert (sn.from_matrix(back) == a_np).all()
