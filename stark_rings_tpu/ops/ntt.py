@@ -151,27 +151,94 @@ class NTTContext:
             return w[:, None, :]
         return w[:, None]
 
+    # -- radix-4 helpers ---------------------------------------------------
+    # Two adjacent radix-2 levels fused into one pass: same modular-mult
+    # count, HALF the array materializations — the dominant cost of the
+    # XLA path is HBM traffic per stage, so this is ~2x fewer passes.
+    def _split4(self, x, m: int):
+        f = self.f
+        nd = 1 if f.limbed else 0
+        t = self.N // (4 * m)
+        view = x.reshape(x.shape[: x.ndim - 1 - nd] + (m, 4, t)
+                         + f.limb_shape)
+        axis = view.ndim - 2 - nd
+        return tuple(jax.lax.index_in_dim(view, i, axis, keepdims=False)
+                     for i in range(4))
+
+    def _merge4(self, qs, m: int):
+        f = self.f
+        nd = 1 if f.limbed else 0
+        axis = qs[0].ndim - 1 - nd
+        view = jnp.stack(qs, axis=axis)
+        return view.reshape(view.shape[: axis - 1] + (self.N,)
+                            + f.limb_shape)
+
+    def _w4(self, tab, lo: int, hi: int, stride: int = 1):
+        """slice [lo:hi:stride] of a stage table, broadcast-shaped."""
+        w = tab[lo:hi:stride] if stride != 1 else tab[lo:hi]
+        return self._w_shape(w)
+
     # -- transforms --------------------------------------------------------
     def forward(self, x):
         """coeff -> leaf-order evaluations; batched over leading axes."""
         f = self.f
         fwd, _, _ = self.tables()
-        for s, w in enumerate(fwd):
-            m = 1 << s
+        s = 0
+        logN = self.logN
+        if logN % 2:
+            m = 1
             a, b = self._split(x, m)
-            wb = f.mul(self._w_shape(w), b)
+            wb = f.mul(self._w_shape(fwd[0]), b)
             x = self._merge(f.add(a, wb), f.sub(a, wb), m)
+            s = 1
+        while s < logN:
+            m = 1 << s
+            w = fwd[s]
+            w01 = fwd[s + 1]
+            p0, p1, p2, p3 = self._split4(x, m)
+            wsh = self._w_shape(w)
+            w0 = self._w4(jnp.asarray(w01), 0, 2 * m, 2)
+            w1 = self._w4(jnp.asarray(w01), 1, 2 * m, 2)
+            wb0 = f.mul(wsh, p2)
+            wb1 = f.mul(wsh, p3)
+            u0a = f.add(p0, wb0)
+            u0b = f.add(p1, wb1)
+            u1a = f.sub(p0, wb0)
+            u1b = f.sub(p1, wb1)
+            t0 = f.mul(w0, u0b)
+            t1 = f.mul(w1, u1b)
+            x = self._merge4((f.add(u0a, t0), f.sub(u0a, t0),
+                              f.add(u1a, t1), f.sub(u1a, t1)), m)
+            s += 2
         return x
 
     def inverse(self, x):
         """leaf-order evaluations -> coeff."""
         f = self.f
         _, inv, n_inv = self.tables()
-        for s in reversed(range(len(inv))):
+        logN = self.logN
+        s = logN - 2
+        while s >= (1 if logN % 2 else 0):
             m = 1 << s
-            a, b = self._split(x, m)
+            w = self._w_shape(inv[s])
+            w01 = jnp.asarray(inv[s + 1])
+            w0 = self._w4(w01, 0, 2 * m, 2)
+            w1 = self._w4(w01, 1, 2 * m, 2)
+            y0, y1, y2, y3 = self._split4(x, m)
+            u0a = f.add(y0, y1)
+            u0b = f.mul(w0, f.sub(y0, y1))
+            u1a = f.add(y2, y3)
+            u1b = f.mul(w1, f.sub(y2, y3))
+            p0 = f.add(u0a, u1a)
+            p2 = f.mul(w, f.sub(u0a, u1a))
+            p1 = f.add(u0b, u1b)
+            p3 = f.mul(w, f.sub(u0b, u1b))
+            x = self._merge4((p0, p1, p2, p3), m)
+            s -= 2
+        if logN % 2:
+            a, b = self._split(x, 1)
             x = self._merge(f.add(a, b),
-                            f.mul(self._w_shape(inv[s]), f.sub(a, b)), m)
+                            f.mul(self._w_shape(inv[0]), f.sub(a, b)), 1)
         return f.mul(x, jnp.asarray(n_inv))
 
     def mul(self, a, b):
