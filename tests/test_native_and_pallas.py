@@ -56,3 +56,34 @@ def test_pallas_goldilocks_interpret_matches_jnp():
     assert (np.asarray(pk.forward(a)) == np.asarray(ctx.forward(a))).all()
     assert (np.asarray(pk.inverse(pk.forward(a))) == np.asarray(a)).all()
     assert (np.asarray(pk.mul(a, b)) == np.asarray(ctx.mul(a, b))).all()
+
+
+def test_mxu_modmat_and_matmul_ntt():
+    """MXU int8-limb modular matmul + the 128x128 matmul-NTT are exact."""
+    import random
+
+    from stark_rings_tpu.native import HostGoldilocks
+    from stark_rings_tpu.ops.mxu import MatmulNTT, MxuModMat
+
+    f = get_field("goldilocks")
+    rng = random.Random(80)
+    R, C = 4, 128
+    M = [[rng.randrange(f.q) for _ in range(C)] for _ in range(R)]
+    mm = MxuModMat(M)
+    x_i = [[rng.randrange(f.q) for _ in range(3)] for _ in range(C)]
+    x = np.array(x_i, dtype=np.uint64)
+    got = np.asarray(mm.apply(jax.device_put(x)))
+    for r in range(R):
+        for c in range(3):
+            want = sum(M[r][j] * x_i[j][c] for j in range(C)) % f.q
+            assert int(got[r, c]) == want
+
+    mn = MatmulNTT()
+    nprng = np.random.default_rng(81)
+    a = nprng.integers(0, f.q, size=(2, mn.N), dtype=np.uint64)
+    b = nprng.integers(0, f.q, size=(2, mn.N), dtype=np.uint64)
+    back = np.asarray(mn.inverse(mn.forward(jax.device_put(a))))
+    assert (back == a).all()
+    host = HostGoldilocks(mn.N)
+    got2 = np.asarray(mn.mul(jax.device_put(a), jax.device_put(b)))
+    assert (got2 == host.mul(a, b)).all()
