@@ -7,6 +7,7 @@ feature, SURVEY.md §2.5); this package is the TPU-native scale-out story:
 `psum` collectives."""
 
 from .mesh import make_mesh
+from .mle import ShardedMLE
 from .ntt import ShardedNTT
 
-__all__ = ["make_mesh", "ShardedNTT"]
+__all__ = ["make_mesh", "ShardedNTT", "ShardedMLE"]

@@ -1,0 +1,68 @@
+"""Sharded dense-MLE tests on the virtual 8-device mesh (the multi-chip
+MLE story of BASELINE config 4: psum/all_gather reductions)."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+from stark_rings_tpu.fields import get_field
+from stark_rings_tpu.linalg import FieldElems
+from stark_rings_tpu.mle import DenseMLE
+from stark_rings_tpu.parallel import ShardedMLE, make_mesh
+
+
+@pytest.mark.parametrize("name", ["goldilocks", "babybear"])
+def test_sharded_eval_matches_single(name):
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    f = get_field(name)
+    e = FieldElems(f)
+    nv = 10
+    mesh = make_mesh(Pn)
+    sm = ShardedMLE(f, nv, mesh)
+    rng = random.Random(100)
+    evals_i = [rng.randrange(f.q) for _ in range(1 << nv)]
+    evals = np.asarray(f.encode(np.array(evals_i, dtype=object)))
+    point = [np.asarray(f.encode(np.array(rng.randrange(f.q), dtype=object)))
+             for _ in range(nv)]
+    ev_fn = sm.make_eval_fn()
+    got = int(f.decode(ev_fn(evals, *point)))
+    mle = DenseMLE(e, nv, jax.numpy.asarray(evals))
+    want = int(f.decode(mle.evaluate([jax.numpy.asarray(p) for p in point])))
+    assert got == want
+
+
+def test_sharded_fix_and_sums():
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    f = get_field("goldilocks")
+    e = FieldElems(f)
+    nv = 9
+    mesh = make_mesh(Pn)
+    sm = ShardedMLE(f, nv, mesh)
+    rng = random.Random(101)
+    a_i = [rng.randrange(f.q) for _ in range(1 << nv)]
+    b_i = [rng.randrange(f.q) for _ in range(1 << nv)]
+    a = np.asarray(f.encode(np.array(a_i, dtype=object)))
+    b = np.asarray(f.encode(np.array(b_i, dtype=object)))
+    # partial fix (local) == single-chip
+    k = 3
+    pts = [np.asarray(f.encode(np.array(rng.randrange(f.q), dtype=object)))
+           for _ in range(k)]
+    fix = sm.make_fix_fn(k)
+    got = f.decode(fix(a, *pts))
+    mle = DenseMLE(e, nv, jax.numpy.asarray(a))
+    want = f.decode(mle.fix_variables(
+        [jax.numpy.asarray(p) for p in pts]).evals)
+    assert [int(v) for v in got] == [int(v) for v in want]
+    # hypercube sum + inner product via psum
+    s_fn = sm.make_hypercube_sum_fn()
+    assert int(f.decode(s_fn(a))) == sum(a_i) % f.q
+    ip_fn = sm.make_inner_product_fn()
+    assert int(f.decode(ip_fn(a, b))) == \
+        sum(x * y for x, y in zip(a_i, b_i)) % f.q
