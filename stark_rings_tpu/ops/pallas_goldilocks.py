@@ -428,10 +428,22 @@ class GoldilocksPallasNTT:
         v = jnp.stack([lo, hi], axis=-1)
         return jax.lax.bitcast_convert_type(v, jnp.uint64)
 
-    def _call(self, kernel, n_in, a_planes):
+    @property
+    def _fwd_tables(self):
+        return (self.wf_lo, self.wf_hi, self.wsf_lo, self.wsf_hi,
+                self.wrf_lo, self.wrf_hi)
+
+    @property
+    def _inv_tables(self):
+        return (self.wi_lo, self.wi_hi, self.wsi_lo, self.wsi_hi,
+                self.wri_lo, self.wri_hi)
+
+    def _call(self, kernel, n_in, a_planes, w_args):
         # NOTE: gridded BlockSpecs around this kernel crash the Mosaic
         # compiler on current TPU toolchains; whole-array specs compile
         # fine, so batching is an unrolled chunk loop at the XLA level.
+        # Only the tables a kernel actually uses are passed — unused VMEM
+        # inputs still get allocated and blow the budget at large N.
         N, R = self.N, self.rows
         B = a_planes[0].shape[0]
         pad = (-B) % R
@@ -440,13 +452,10 @@ class GoldilocksPallasNTT:
                 jnp.concatenate([p, jnp.zeros((pad, N), p.dtype)], axis=0)
                 for p in a_planes)
         Bp = B + pad
-        w_args = (self.wf_lo, self.wf_hi, self.wi_lo, self.wi_hi,
-                  self.wsf_lo, self.wsf_hi, self.wsi_lo, self.wsi_hi,
-                  self.wrf_lo, self.wrf_hi, self.wri_lo, self.wri_hi)
         whole = pl.BlockSpec(memory_space=pltpu.VMEM)
         pcall = pl.pallas_call(
             kernel,
-            in_specs=[whole] * (n_in + 12),
+            in_specs=[whole] * (n_in + len(w_args)),
             out_specs=(whole, whole),
             out_shape=(jax.ShapeDtypeStruct((R, N), jnp.uint32),
                        jax.ShapeDtypeStruct((R, N), jnp.uint32)),
@@ -465,18 +474,16 @@ class GoldilocksPallasNTT:
         return lo, hi
 
     # -- kernels ----------------------------------------------------------
-    def _fwd_kernel(self, xlo_ref, xhi_ref, wfl, wfh, wil, wih,
-                    sfl, sfh, sil, sih, rfl, rfh, ril, rih,
-                    olo_ref, ohi_ref):
+    def _fwd_kernel(self, xlo_ref, xhi_ref, wfl, wfh,
+                    sfl, sfh, rfl, rfh, olo_ref, ohi_ref):
         lo, hi = _fwd_stages(xlo_ref[:], xhi_ref[:], wfl[:], wfh[:],
                              sfl[:], sfh[:], rfl[:], rfh[:],
                              self.N, self.logN)
         olo_ref[:] = lo
         ohi_ref[:] = hi
 
-    def _inv_kernel(self, xlo_ref, xhi_ref, wfl, wfh, wil, wih,
-                    sfl, sfh, sil, sih, rfl, rfh, ril, rih,
-                    olo_ref, ohi_ref):
+    def _inv_kernel(self, xlo_ref, xhi_ref, wil, wih,
+                    sil, sih, ril, rih, olo_ref, ohi_ref):
         lo, hi = _inv_stages(xlo_ref[:], xhi_ref[:], wil[:], wih[:],
                              sil[:], sih[:], ril[:], rih[:],
                              self.N, self.logN,
@@ -508,18 +515,23 @@ class GoldilocksPallasNTT:
 
     # -- public ops (u64 in / u64 out, batched [B, N]) --------------------
     def forward(self, x):
-        lo, hi = self._call(self._fwd_kernel, 2, self.to_planes(x))
+        lo, hi = self._call(self._fwd_kernel, 2, self.to_planes(x),
+                            self._fwd_tables)
         return self.from_planes(lo, hi)
 
     def inverse(self, x):
-        lo, hi = self._call(self._inv_kernel, 2, self.to_planes(x))
+        lo, hi = self._call(self._inv_kernel, 2, self.to_planes(x),
+                            self._inv_tables)
         return self.from_planes(lo, hi)
 
     def mul(self, a, b):
         """Fused single-kernel ring multiply (VMEM-bound at large N)."""
         al, ah = self.to_planes(a)
         bl, bh = self.to_planes(b)
-        lo, hi = self._call(self._mul_kernel, 4, (al, ah, bl, bh))
+        lo, hi = self._call(self._mul_kernel, 4, (al, ah, bl, bh),
+                            self._fwd_tables[:2] + self._inv_tables[:2]
+                            + self._fwd_tables[2:4] + self._inv_tables[2:4]
+                            + self._fwd_tables[4:6] + self._inv_tables[4:6])
         return self.from_planes(lo, hi)
 
     def pointwise(self, fa, fb):
