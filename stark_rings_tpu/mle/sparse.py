@@ -101,6 +101,22 @@ class SparseMLE:
         new_idx = self.indices >> np.int64(k)
         return SparseMLE(e, self.num_vars - k, new_idx, new_vals)
 
+    def relabel(self, a: int, b: int, k: int):
+        """Swap variable windows [a,a+k) / [b,b+k) (sparse.rs relabel):
+        a pure index-bit permutation of the stored indices."""
+        if a > b:
+            a, b = b, a
+        if a == b or k == 0:
+            return self
+        assert b + k <= self.num_vars and a + k <= b
+        idx = self.indices
+        mask = np.int64((1 << k) - 1)
+        abits = (idx >> np.int64(a)) & mask
+        bbits = (idx >> np.int64(b)) & mask
+        cleared = idx & ~((mask << np.int64(a)) | (mask << np.int64(b)))
+        new_idx = cleared | (abits << np.int64(b)) | (bbits << np.int64(a))
+        return SparseMLE(self.e, self.num_vars, new_idx, self.values)
+
     # -- conversions -----------------------------------------------------
     def to_dense(self):
         from .dense import DenseMLE

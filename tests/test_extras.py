@@ -222,3 +222,48 @@ def test_representatives():
     u = UnsignedRepresentative(7)
     assert int(u * u) == 49
     assert int(u ^ UnsignedRepresentative(1)) == 6
+
+
+def test_sparse_mle_relabel_and_ring_elements():
+    from stark_rings_tpu.mle import SparseMLE, swap_bits
+
+    ring = get_ring("goldilocks")
+    e = RingElems(ring)
+    rng = random.Random(70)
+    nv = 5
+    pairs = []
+    used = set()
+    for _ in range(6):
+        i = rng.randrange(1 << nv)
+        if i in used:
+            continue
+        used.add(i)
+        pairs.append((i, [rng.randrange(ring.q) for _ in range(ring.D)]))
+    sm = SparseMLE.from_pairs(e, nv, pairs)
+    rl = sm.relabel(0, 3, 2)
+    dense = rl.to_dense().decode()
+    for i, v in pairs:
+        j = swap_bits(i, 0, 3, 2)
+        assert [int(x) for x in dense[j]] == [x % ring.q for x in v]
+    # ring-element sparse evaluate matches densified dense MLE
+    from stark_rings_tpu.mle import DenseMLE
+
+    point = [ring.rand_ntt((), rng) for _ in range(nv)]
+    got = ring.decode(sm.evaluate(point))
+    dm = sm.to_dense()
+    want = ring.decode(dm.evaluate(point))
+    assert list(got) == list(want)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from stark_rings_tpu.utils import load_tensors, save_tensors
+
+    for name in ("goldilocks", "stark_prime"):
+        f = get_field(name)
+        rng = random.Random(71)
+        x = f.rand((4, 3), rng)
+        p = save_tensors(tmp_path / f"ck_{name}.npz", name, x=x)
+        back_name, tensors = load_tensors(p)
+        assert back_name == name
+        assert (np.asarray(f.decode(tensors["x"])) ==
+                np.asarray(f.decode(x))).all()
