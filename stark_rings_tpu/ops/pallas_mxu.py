@@ -48,34 +48,38 @@ def _digits_from_planes(xlo, xhi):
     return out
 
 
-def _fold_buckets_u32(V):
-    """V: list of NBUCKETS int32 arrays (each < 2^25, nonnegative) ->
-    (lo, hi) u32 planes of the canonical value mod q.
+_N_WORDS = (_DBITS * (_NBUCKETS - 1) + 31) // 32 + 2
 
-    Same math as mxu._fold_buckets but in u32 pair arithmetic."""
-    shape = V[0].shape
+
+def _word_state(shape):
+    """Incremental word accumulators: keeping only ONE int32 bucket live
+    at a time bounds the kernel's VMEM footprint (a full V list spills)."""
     zero = jnp.zeros(shape, dtype=jnp.uint32)
-    n_words = (_DBITS * (_NBUCKETS - 1) + 31) // 32 + 2
-    wlo = [zero] * n_words            # bits 32j..32j+31 partial sums
-    whi = [zero] * n_words            # carries beyond 32 bits (small)
-    for s in range(_NBUCKETS):
-        v = V[s].astype(jnp.uint32)   # < 2^25
-        r = _DBITS * s
-        j, sh = r >> 5, r & 31
-        clo = v << np.uint32(sh)                       # low 32 of v<<sh
-        chi = (v >> np.uint32(32 - sh)) if sh else zero
-        t = wlo[j] + clo
-        carry = (t < clo).astype(jnp.uint32)
-        wlo[j] = t
-        whi[j] = whi[j] + carry
-        t2 = wlo[j + 1] + chi
-        carry2 = (t2 < chi).astype(jnp.uint32)
-        wlo[j + 1] = t2
-        whi[j + 1] = whi[j + 1] + carry2
-    # normalize: digit_j = low 32 bits, carry = whi_j + overflowed parts
+    return [zero] * _N_WORDS, [zero] * _N_WORDS, zero
+
+
+def _word_accumulate(wlo, whi, zero, s, v32):
+    """Add bucket s's value (int32 < 2^25) into the word accumulators."""
+    v = v32.astype(jnp.uint32)
+    r = _DBITS * s
+    j, sh = r >> 5, r & 31
+    clo = v << np.uint32(sh)
+    chi = (v >> np.uint32(32 - sh)) if sh else zero
+    t = wlo[j] + clo
+    carry = (t < clo).astype(jnp.uint32)
+    wlo[j] = t
+    whi[j] = whi[j] + carry
+    t2 = wlo[j + 1] + chi
+    carry2 = (t2 < chi).astype(jnp.uint32)
+    wlo[j + 1] = t2
+    whi[j + 1] = whi[j + 1] + carry2
+
+
+def _word_finalize(wlo, whi, zero):
+    """Word accumulators -> canonical (lo, hi) u32 planes mod q."""
     digits = []
     carry = zero
-    for j in range(n_words):
+    for j in range(_N_WORDS):
         t = wlo[j] + carry
         c = (t < carry).astype(jnp.uint32)
         digits.append(t)
@@ -97,6 +101,14 @@ def _fold_buckets_u32(V):
     return _add_q(acc_lo, acc_hi, d6_lo, d6_hi)
 
 
+def _fold_buckets_u32(V):
+    """Compatibility wrapper: fold a full bucket list."""
+    wlo, whi, zero = _word_state(V[0].shape)
+    for s, v in enumerate(V):
+        _word_accumulate(wlo, whi, zero, s, v)
+    return _word_finalize(wlo, whi, zero)
+
+
 def _canon64(lo, hi):
     """u64 (as pair) -> canonical mod q (single conditional subtract:
     any u64 value is < 2q for Goldilocks)."""
@@ -114,28 +126,60 @@ class MxuModMatPallas:
     """y = M @ x (mod q), x u64 [C, M_cols], via a fused MXU kernel.
 
     C (the contraction dim) must be <= 128-ish for the int32 bound; tiles
-    of ``tile`` columns are processed per kernel invocation."""
+    of ``tile`` columns are processed per kernel invocation.
 
-    def __init__(self, m_ints, tile: int = 512, interpret: bool = False):
+    Two kernel shapes:
+    * ``stacked=True`` (default): ONE [NBUCKETS*R, DIGITS*C] int8 matmul
+      per tile against the concatenated digit planes — bucket weight
+      row-block s holds W_{s-l} at column-block l (zeros elsewhere), so
+      the bucket sums fall out of the single big matmul (1.9x the minimal
+      MAC count, but the MXU runs one well-shaped contraction instead of
+      100 tiny ones).
+    * ``stacked=False``: 100 small [R, C] matmuls streamed by bucket.
+    """
+
+    def __init__(self, m_ints, tile: int = 512, interpret: bool = False,
+                 stacked: bool = True):
         base = MxuModMat(m_ints)
         self.R, self.C = base.R, base.C
         self.planes = base.planes          # int8 [DIGITS, R, C]
         self.tile = tile
         self.interpret = interpret
+        self.stacked = stacked
+        if stacked:
+            big = np.zeros((_NBUCKETS * self.R, _DIGITS * self.C),
+                           dtype=np.int8)
+            for sidx in range(_NBUCKETS):
+                for l in range(_DIGITS):
+                    k = sidx - l
+                    if 0 <= k < _DIGITS:
+                        big[sidx * self.R:(sidx + 1) * self.R,
+                            l * self.C:(l + 1) * self.C] = self.planes[k]
+            self.big_planes = big
 
     def _kernel(self, xlo_ref, xhi_ref, w_ref, olo_ref, ohi_ref):
-        # stream buckets in s order so only one int32 bucket is live at a
-        # time (keeps VMEM pressure ~independent of NBUCKETS)
         xd = _digits_from_planes(xlo_ref[:], xhi_ref[:])
-        V = []
-        for s in range(_NBUCKETS):
-            acc = None
-            for k in range(max(0, s - _DIGITS + 1), min(_DIGITS, s + 1)):
-                p = jnp.dot(w_ref[k], xd[s - k],
-                            preferred_element_type=jnp.int32)
-                acc = p if acc is None else acc + p
-            V.append(acc)
-        lo, hi = _fold_buckets_u32(V)
+        if self.stacked:
+            xcat = jnp.concatenate(xd, axis=0)       # [DIGITS*C, T] int8
+            vall = jnp.dot(w_ref[:], xcat,
+                           preferred_element_type=jnp.int32)
+            wlo, whi, zero = _word_state(vall[: self.R].shape)
+            for s in range(_NBUCKETS):
+                _word_accumulate(wlo, whi, zero, s,
+                                 vall[s * self.R:(s + 1) * self.R])
+        else:
+            # one live bucket at a time: matmuls for bucket s, fold, drop
+            wlo = whi = zero = None
+            for s in range(_NBUCKETS):
+                acc = None
+                for k in range(max(0, s - _DIGITS + 1), min(_DIGITS, s + 1)):
+                    p = jnp.dot(w_ref[k], xd[s - k],
+                                preferred_element_type=jnp.int32)
+                    acc = p if acc is None else acc + p
+                if wlo is None:
+                    wlo, whi, zero = _word_state(acc.shape)
+                _word_accumulate(wlo, whi, zero, s, acc)
+        lo, hi = _word_finalize(wlo, whi, zero)
         olo_ref[:] = lo
         ohi_ref[:] = hi
 
@@ -162,10 +206,11 @@ class MxuModMatPallas:
                        jax.ShapeDtypeStruct((self.R, T), jnp.uint32)),
             interpret=self.interpret,
         )
+        w_arg = self.big_planes if self.stacked else self.planes
         los, his = [], []
         for g in range(Mp // T):
             lo, hi = pcall(xlo[:, g * T:(g + 1) * T],
-                           xhi[:, g * T:(g + 1) * T], self.planes)
+                           xhi[:, g * T:(g + 1) * T], w_arg)
             los.append(lo)
             his.append(hi)
         lo = jnp.concatenate(los, axis=1) if len(los) > 1 else los[0]
