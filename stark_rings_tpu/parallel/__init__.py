@@ -6,8 +6,9 @@ feature, SURVEY.md §2.5); this package is the TPU-native scale-out story:
 `all_to_all` (four-step/Bailey decomposition) over ICI and reductions as
 `psum` collectives."""
 
+from .linalg import ShardedMatVec
 from .mesh import make_mesh
 from .mle import ShardedMLE
 from .ntt import ShardedNTT
 
-__all__ = ["make_mesh", "ShardedNTT", "ShardedMLE"]
+__all__ = ["make_mesh", "ShardedNTT", "ShardedMLE", "ShardedMatVec"]

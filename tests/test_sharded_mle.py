@@ -66,3 +66,43 @@ def test_sharded_fix_and_sums():
     ip_fn = sm.make_inner_product_fn()
     assert int(f.decode(ip_fn(a, b))) == \
         sum(x * y for x, y in zip(a_i, b_i)) % f.q
+
+
+def test_sharded_matvec():
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    from stark_rings_tpu.parallel import ShardedMatVec
+    from stark_rings_tpu.rings import get_ring
+    from stark_rings_tpu.linalg import Matrix, RingElems
+
+    ring = get_ring("goldilocks")
+    e = RingElems(ring)
+    mesh = make_mesh(Pn)
+    rng = random.Random(110)
+    n, m = 3, 16
+    A = Matrix.rand(e, n, m, rng)
+    v = np.asarray(ring.rand_ntt((m,), rng))
+    mv = ShardedMatVec(e, mesh).make_matvec_fn()
+    got = mv(np.asarray(A.vals), v)
+    want = A.mul_vec(v)
+    assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_sharded_matvec_field_scalars():
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    from stark_rings_tpu.parallel import ShardedMatVec
+    from stark_rings_tpu.linalg import Matrix
+
+    f = get_field("stark_prime")
+    e = FieldElems(f)
+    mesh = make_mesh(Pn)
+    rng = random.Random(111)
+    A = Matrix.rand(e, 2, 8, rng)
+    v = np.asarray(f.rand((8,), rng))
+    mv = ShardedMatVec(e, mesh).make_matvec_fn()
+    got = mv(np.asarray(A.vals), v)
+    want = A.mul_vec(v)
+    assert (np.asarray(got) == np.asarray(want)).all()
