@@ -19,7 +19,7 @@ jnp path (tests compare against NTTContext and the integer spec).
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import numpy as np
 

@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mxu import _DBITS, _DIGITS, _NBUCKETS, MxuModMat
-from .pallas_goldilocks import _add_q, _pair_add, _pair_sub, _reduce128, _sub_q
+from .pallas_goldilocks import _add_q, _pair_sub, _reduce128, _sub_q
 
 __all__ = ["MxuModMatPallas"]
 
