@@ -87,8 +87,15 @@ class Matrix:
         return Matrix(self.e, self.e.mul(self.vals, s))
 
     def mul_vec(self, v):
-        """checked_mul_vec (matrix.rs:148-188): [n,m]+e @ [m]+e -> [n]+e."""
-        assert v.shape[0] == self.ncols, "DifferentLengths"
+        """checked_mul_vec (matrix.rs:148-188): [n,m]+e @ [m]+e -> [n]+e.
+
+        Raises AlgebraError on dimension mismatch (the reference's
+        checked_*/try_* contract, error.rs:4-8)."""
+        if v.shape[0] != self.ncols:
+            from . import AlgebraError
+
+            raise AlgebraError(
+                f"DifferentLengths: ncols={self.ncols}, len(v)={v.shape[0]}")
         prod = self.e.mul(self.vals, v[None])
         return self.e.sum(prod, axis=1)
 
@@ -106,7 +113,11 @@ class Matrix:
 
     def mul_mat(self, other):
         """checked_mul_mat: [n,k]+e @ [k,m]+e -> [n,m]+e."""
-        assert self.ncols == other.nrows, "DifferentLengths"
+        if self.ncols != other.nrows:
+            from . import AlgebraError
+
+            raise AlgebraError(
+                f"DifferentLengths: {self.ncols} vs {other.nrows}")
         a = self.vals[:, :, None]       # [n, k, 1]+e
         b = other.vals[None]            # [1, k, m]+e
         prod = self.e.mul(a, b)

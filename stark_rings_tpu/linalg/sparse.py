@@ -142,8 +142,14 @@ class SparseMatrix:
 
     # -- arithmetic ------------------------------------------------------
     def mul_vec(self, v):
-        """checked_mul_vec (sparse_matrix.rs:202-217): gather+segment-sum."""
-        assert v.shape[0] == self.ncols, "DifferentLengths"
+        """checked_mul_vec (sparse_matrix.rs:202-217): gather+segment-sum.
+
+        Raises AlgebraError on dimension mismatch."""
+        if v.shape[0] != self.ncols:
+            from . import AlgebraError
+
+            raise AlgebraError(
+                f"DifferentLengths: ncols={self.ncols}, len(v)={v.shape[0]}")
         f = self.e.f
         vg = jnp.take(jnp.asarray(v), self.cols, axis=0)
         prod = self.e.mul(self.data, vg)
@@ -192,7 +198,11 @@ class SparseMatrix:
 
     def mul_sparse(self, other):
         """sparse·sparse (sparse_matrix.rs:219-275) — dense accumulator."""
-        assert self.ncols == other.nrows, "DifferentLengths"
+        if self.ncols != other.nrows:
+            from . import AlgebraError
+
+            raise AlgebraError(
+                f"DifferentLengths: {self.ncols} vs {other.nrows}")
         from .matrix import Matrix
 
         dense = other.to_dense().vals

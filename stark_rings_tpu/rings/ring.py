@@ -321,6 +321,14 @@ class RingModel:
         ys = fn(xs)
         return ys.reshape(batch + (self.D,) + f.limb_shape)
 
+    def ntt_frobenius(self, a, i: int = 1):
+        """Slot-wise Frobenius x -> x^(q^i) on NTT-form elements — a free
+        (permutation+scale) ring automorphism in the slot field, useful
+        for norm maps and conjugate tricks in protocol code."""
+        if self.E == 1 or i % self.E == 0:
+            return a
+        return self._slotwise(self._frob_tables[(i % self.E) - 1], a)
+
     def ntt_inv(self, a):
         """Slot-wise inverse (slots must be nonzero).
 

@@ -267,3 +267,27 @@ def test_checkpoint_roundtrip(tmp_path):
         assert back_name == name
         assert (np.asarray(f.decode(tensors["x"])) ==
                 np.asarray(f.decode(x))).all()
+
+
+def test_algebra_error_and_frobenius():
+    import pytest as _pytest
+
+    from stark_rings_tpu.linalg import AlgebraError
+
+    ring = get_ring("goldilocks")
+    e = RingElems(ring)
+    rng = random.Random(72)
+    M = Matrix.rand(e, 2, 3, rng)
+    v_bad = np.asarray(ring.rand_ntt((4,), rng))
+    with _pytest.raises(AlgebraError):
+        M.mul_vec(v_bad)
+    # frobenius: x^(q^E) == x (full orbit), and frob(ab) = frob(a)frob(b)
+    a = ring.crt(np.asarray(ring.rand_coeff((), rng)))
+    b = ring.crt(np.asarray(ring.rand_coeff((), rng)))
+    x = a
+    for _ in range(ring.E):
+        x = ring.ntt_frobenius(x, 1)
+    assert (np.asarray(x) == np.asarray(a)).all()
+    lhs = ring.ntt_frobenius(ring.ntt_mul(a, b), 1)
+    rhs = ring.ntt_mul(ring.ntt_frobenius(a, 1), ring.ntt_frobenius(b, 1))
+    assert (np.asarray(lhs) == np.asarray(rhs)).all()
