@@ -109,3 +109,26 @@ def test_sharded_deg_2_20_roundtrip():
     a = sn.to_matrix(a_np)
     back = np.asarray(jax.device_get(inv(fwd(a))))
     assert (sn.from_matrix(back) == a_np).all()
+
+
+@pytest.mark.slow
+def test_sharded_deg_2_16_mul_vs_native_oracle():
+    """Four-step sharded ring-mul at deg 2^16 vs the C++ host oracle."""
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    from stark_rings_tpu.native import HostGoldilocks
+
+    name, N = "goldilocks", 1 << 16
+    f = get_field(name)
+    mesh = make_mesh(Pn)
+    sn = ShardedNTT(name, N, Pn)
+    _, _, mul = sn.make_fns(mesh)
+    rng = np.random.default_rng(54)
+    a_np = rng.integers(0, f.q, size=(N,), dtype=np.uint64)
+    b_np = rng.integers(0, f.q, size=(N,), dtype=np.uint64)
+    got = sn.from_matrix(np.asarray(jax.device_get(
+        mul(sn.to_matrix(a_np), sn.to_matrix(b_np)))))
+    host = HostGoldilocks(N)
+    want = host.mul(a_np[None], b_np[None])[0]
+    assert (got == want).all()
