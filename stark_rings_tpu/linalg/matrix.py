@@ -100,16 +100,32 @@ class Matrix:
         return self.e.sum(prod, axis=1)
 
     def gadget_decompose(self, b: int, k: int):
-        """n x m -> n x (k*m) balanced gadget decomposition
-        (balanced_decomposition/mod.rs:276-298)."""
-        from ..decomp import gadget_decompose as gd
+        """n x m -> n x (k*m) balanced gadget decomposition, column c*k+j
+        holding digit j of column c (balanced_decomposition/mod.rs:276-298
+        via the per-row slice decompose mod.rs:163-175).
 
-        return Matrix(self.e, gd(self.e.f, self.vals, b, k))
+        Works for both ring-element matrices (trailing D axis) and
+        scalar-element matrices (Matrix<R: Decompose> covers both)."""
+        from ..decomp import decompose, gadget_decompose as gd
+
+        if getattr(self.e, "ring", None) is not None:
+            return Matrix(self.e, gd(self.e.f, self.vals, b, k))
+        f = self.e.f
+        dig = decompose(f, self.vals, b, k)   # [n, m, k(, L)]
+        n, m = dig.shape[0], dig.shape[1]
+        tail = f.limb_shape
+        return Matrix(self.e, dig.reshape((n, m * k) + tail))
 
     def gadget_recompose(self, b: int, k: int):
-        from ..decomp import gadget_recompose as gr
+        from ..decomp import gadget_recompose as gr, recompose
 
-        return Matrix(self.e, gr(self.e.f, self.vals, b, k))
+        if getattr(self.e, "ring", None) is not None:
+            return Matrix(self.e, gr(self.e.f, self.vals, b, k))
+        f = self.e.f
+        n, mk = self.vals.shape[0], self.vals.shape[1]
+        assert mk % k == 0
+        dig = self.vals.reshape((n, mk // k, k) + f.limb_shape)
+        return Matrix(self.e, recompose(f, dig, b))
 
     def mul_mat(self, other):
         """checked_mul_mat: [n,k]+e @ [k,m]+e -> [n,m]+e."""

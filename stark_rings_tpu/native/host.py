@@ -6,6 +6,7 @@ build/); falls back with a clear error if no toolchain is available."""
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import pathlib
 import subprocess
@@ -17,22 +18,32 @@ __all__ = ["get_host_lib", "HostGoldilocks"]
 _ROOT = pathlib.Path(__file__).resolve().parents[2]
 _SRC = _ROOT / "csrc" / "stark_rings_host.cpp"
 _BUILD = _ROOT / "build"
-_SO = _BUILD / "libstark_rings_host.so"
 
 _lib = None
+
+
+def _so_path() -> pathlib.Path:
+    """Cache path keyed on a hash of the source: the oracle is ALWAYS
+    built from the checked-in csrc on this machine — a stale or foreign
+    binary (e.g. from a different host's -march=native) can never load."""
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    return _BUILD / f"libstark_rings_host.{digest}.so"
 
 
 def get_host_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    so = _so_path()
+    if not so.exists():
         _BUILD.mkdir(exist_ok=True)
+        tmp = so.with_suffix(".tmp.so")
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             str(_SRC), "-o", str(_SO)],
+             str(_SRC), "-o", str(tmp)],
             check=True)
-    lib = ctypes.CDLL(str(_SO))
+        os.replace(tmp, so)
+    lib = ctypes.CDLL(str(so))
     u64 = ctypes.c_uint64
     p64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")

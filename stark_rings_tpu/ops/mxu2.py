@@ -1,0 +1,266 @@
+"""MXU NTT v2: deg-2^16 Goldilocks negacyclic transform as TWO 256x256
+modular matmul levels with *pre-scaled* int8 digit weights.
+
+Key ideas over ops/mxu.py (round-1 MXU path):
+
+* **Pre-scaled weights kill the bucket blow-up.**  For data digit plane
+  ``l`` (7-bit unsigned digits of the u64 operand), the weight matrix is
+  pre-multiplied by ``2^(7l) mod q`` and THEN digitized (9 signed 8-bit
+  digits).  The digit-pair grid of ops/mxu.py (10x10 products, 19
+  buckets) collapses into ONE int8 matmul
+
+      big[K*R, P*C] @ planes[P*C, cols]  ->  V[K*R, cols]   (int32)
+
+  with K = 9 output buckets (vs 19) and the minimal MAC count
+  (P*K = 90 int8 MACs per 64-bit modular MAC, no stacking waste).
+* **XLA-level dots.**  Measured on the v5e: XLA lowers large int8 dots at
+  275-700 TOPS, while Mosaic's in-kernel `lax.dot` on int8 runs at ~25
+  TOPS (f32 path).  So the matmuls stay at XLA level and the epilogues
+  (digit fold, twiddles) are fused elementwise XLA ops on u64.
+* **Twist/scale absorption.**  The negacyclic twist psi^(n1*N2), the
+  1/N scale and psi^-..., are absorbed into the constant level matrices;
+  only the rank-1 mid-twiddle psi^n2 * omega^(k1*n2) remains as one
+  elementwise modular multiply per level boundary.
+
+Layouts (B = batch):
+  coeff domain   u64 [B, N],  N = N1*N2, n = n1*N2 + n2
+  internal       u64 [256, B, 256]  (contraction axis leading)
+  NTT domain     u64 [k2, B, k1]  — a fixed frequency order; pointwise
+  multiplication and `inverse` share it, so ring multiplication is exact
+  (generalizes the reference butterfly dataflow,
+  /root/reference/crates/ring/src/cyclotomic_ring/models/goldilocks/ntt.rs:135-319).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import GOLDILOCKS
+from .ntt import find_primitive_root
+
+__all__ = ["Mxu2NTT", "PrescaledMat"]
+
+_f = GOLDILOCKS
+_Q = _f.q
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+P_PLANES = 10   # 7-bit unsigned data digits covering 64 bits
+D_BITS = 7
+K_BUCKETS = 9   # signed 8-bit weight digits covering [0, q)
+B_BITS = 8
+
+
+def _digitize_signed_host(v: int, k: int = K_BUCKETS) -> list:
+    """v in [0, 2^64) -> k signed digits d_j in [-128, 127], top in {0,1},
+    with v = sum d_j 2^(8j) exactly."""
+    out = []
+    carry = 0
+    for _ in range(k - 1):
+        m = (v & 0xFF) + carry
+        v >>= 8
+        if m >= 128:
+            m -= 256
+            carry = 1
+        else:
+            carry = 0
+        out.append(m)
+    top = v + carry
+    assert 0 <= top <= 1, f"digitize overflow: top={top}"
+    out.append(top)
+    return out
+
+
+class PrescaledMat:
+    """Constant [R, C] Goldilocks matrix with pre-scaled int8 digit planes.
+
+    apply(x): x u64 [C, cols] -> M @ x mod q, u64 [R, cols], exact.
+    """
+
+    def __init__(self, m_ints):
+        m = np.asarray(m_ints, dtype=object)
+        R, C = m.shape
+        self.R, self.C = R, C
+        # int32 accumulation bound: P*C products of |.| <= 128*127
+        assert P_PLANES * C * 128 * 127 < 2**31
+        big = np.zeros((K_BUCKETS * R, P_PLANES * C), dtype=np.int8)
+        for l in range(P_PLANES):
+            scale = pow(2, D_BITS * l, _Q)
+            for r in range(R):
+                for c in range(C):
+                    dg = _digitize_signed_host(int(m[r, c]) * scale % _Q)
+                    for k in range(K_BUCKETS):
+                        big[k * R + r, l * C + c] = dg[k]
+        self.big = jnp.asarray(big)
+
+    # -- device helpers ---------------------------------------------------
+    def planes(self, x):
+        """u64 [C, cols] -> int8 [P*C, cols] of 7-bit digits."""
+        outs = []
+        for l in range(P_PLANES):
+            outs.append(((x >> np.uint64(D_BITS * l))
+                         & np.uint64(0x7F)).astype(jnp.int8))
+        return jnp.concatenate(outs, axis=0)
+
+    def fold(self, V):
+        """int32 [K*R, cols] bucket planes -> canonical u64 [R, cols].
+
+        value = sum_k V_k 2^(8k) with V_k signed; bias each bucket by
+        2^26 (making the packing unsigned) and subtract the constant
+        bias afterwards mod q.
+        """
+        R = self.R
+        BIAS = np.uint64(1 << 26)
+        bias_val = sum((1 << 26) << (B_BITS * k) for k in range(K_BUCKETS))
+        bias_mod = jnp.asarray(np.uint64(bias_val % _Q))
+        # base-2^32 words (held in u64; each accumulated word < 2^32*small)
+        n_words = (B_BITS * (K_BUCKETS - 1) + 27) // 32 + 1
+        words = [None] * (n_words + 1)
+        for k in range(K_BUCKETS):
+            v = (V[k * R:(k + 1) * R].astype(jnp.int64)
+                 + jnp.int64(1 << 26)).astype(jnp.uint64)
+            r = B_BITS * k
+            j, sh = r >> 5, r & 31
+            contrib = v << np.uint64(sh)         # < 2^(27+31) fits u64
+            lo = contrib & _MASK32
+            hi = contrib >> np.uint64(32)
+            words[j] = lo if words[j] is None else words[j] + lo
+            words[j + 1] = hi if words[j + 1] is None else words[j + 1] + hi
+        zero = jnp.zeros_like(words[0])
+        words = [w if w is not None else zero for w in words]
+        # carry-normalize to digits < 2^32
+        digits = []
+        carry = zero
+        for w in words:
+            t = w + carry
+            digits.append(t & _MASK32)
+            carry = t >> np.uint64(32)
+        digits.append(carry)
+        while len(digits) < 4:
+            digits.append(zero)
+        # value = A + B*2^64 with A = d0|d1<<32 (u64), B = d2|d3<<32
+        A = digits[0] | (digits[1] << np.uint64(32))
+        Bw = digits[2] | (digits[3] << np.uint64(32))
+        acc = _f._reduce128(Bw, A)
+        return _f.sub(acc, bias_mod)
+
+    def dot(self, x):
+        """u64 [C, cols] -> int32 bucket planes [K*R, cols] (digitize
+        fuses into the int8 dot at XLA level — measured free)."""
+        return jax.lax.dot(self.big, self.planes(x),
+                           preferred_element_type=jnp.int32)
+
+    def apply(self, x):
+        return self.fold(self.dot(x))
+
+
+class Mxu2NTT:
+    """Negacyclic ring multiply for N = N1*N2 (default 256*256 = 2^16)."""
+
+    def __init__(self, N: int = 1 << 16, n1: int | None = None):
+        self.N = N
+        if n1 is None:
+            logn = N.bit_length() - 1
+            n1 = 1 << (logn // 2)
+        self.N1, self.N2 = n1, N // n1
+        N1, N2 = self.N1, self.N2
+        q = _Q
+        g = find_primitive_root(q)
+        psi = pow(g, (q - 1) // (2 * N), q)
+        om = pow(psi, 2, q)
+        om1 = pow(om, N2, q)          # order N1
+        om2 = pow(om, N1, q)          # order N2
+        psi_i = pow(psi, q - 2, q)
+        om_i = pow(om, q - 2, q)
+        om1_i = pow(om1, q - 2, q)
+        om2_i = pow(om2, q - 2, q)
+        n_inv = pow(N, q - 2, q)
+
+        # W1'[k1, n1] = om1^(k1 n1) * psi^(n1 N2)   (twist absorbed)
+        W1 = [[pow(om1, k1 * j, q) * pow(psi, j * N2, q) % q
+               for j in range(N1)] for k1 in range(N1)]
+        # W2[k2, n2] = om2^(k2 n2)
+        W2 = [[pow(om2, k2 * j, q) for j in range(N2)]
+              for k2 in range(N2)]
+        # inverse: W2i[n2, k2] = om2^(-k2 n2)
+        W2i = [[pow(om2_i, j * k2, q) for k2 in range(N2)]
+               for j in range(N2)]
+        # W1i[n1, k1] = om1^(-k1 n1) * psi^(-n1 N2) / N
+        W1i = [[pow(om1_i, j * k1, q) * pow(psi_i, j * N2, q)
+                * n_inv % q for k1 in range(N1)] for j in range(N1)]
+        self.mat1 = PrescaledMat(W1)
+        self.mat2 = PrescaledMat(W2)
+        self.mat2i = PrescaledMat(W2i)
+        self.mat1i = PrescaledMat(W1i)
+
+        # mid twiddle T[k1, n2] = psi^(n2) * om^(k1 n2)
+        tw = np.empty((N1, N2), dtype=np.uint64)
+        twi = np.empty((N2, N1), dtype=np.uint64)   # [n2, k1] layout
+        for k1 in range(N1):
+            for j in range(N2):
+                tw[k1, j] = pow(psi, j, q) * pow(om, k1 * j, q) % q
+                twi[j, k1] = pow(psi_i, j, q) * pow(om_i, k1 * j, q) % q
+        self.tw = jnp.asarray(tw)
+        self.twi = jnp.asarray(twi)
+
+    # -- layout helpers ---------------------------------------------------
+    def _to_internal(self, x):
+        """[B, N] -> [n1, B, n2]."""
+        B = x.shape[0]
+        return jnp.transpose(x.reshape(B, self.N1, self.N2), (1, 0, 2))
+
+    def _from_internal(self, x):
+        """[n1, B, n2] -> [B, N]."""
+        return jnp.transpose(x, (1, 0, 2)).reshape(-1, self.N)
+
+    # -- epilogues (overridden by the Pallas subclass) ---------------------
+    def _fold_end(self, mat, V, B, t):
+        """int32 buckets [K*R, B*t] -> u64 [R, B, t]."""
+        return mat.fold(V).reshape(mat.R, B, t)
+
+    def _fold_tw(self, mat, V, tw, B, t):
+        """fold + mid-twiddle (tw: u64 [R, t], broadcast over B)."""
+        y = mat.fold(V).reshape(mat.R, B, t)
+        return _f.mul(y, tw[:, None, :])
+
+    def _lvl_end(self, mat, x):
+        C, B, t = x.shape
+        V = mat.dot(x.reshape(C, B * t))
+        return self._fold_end(mat, V, B, t)
+
+    def _lvl_tw(self, mat, x, tw):
+        C, B, t = x.shape
+        V = mat.dot(x.reshape(C, B * t))
+        return self._fold_tw(mat, V, tw, B, t)
+
+    # -- transforms --------------------------------------------------------
+    def forward_internal(self, x):
+        """[n1, B, n2] coeffs -> [k2, B, k1] evaluations."""
+        a = self._lvl_tw(self.mat1, x, self.tw)       # [k1, B, n2]
+        a = jnp.transpose(a, (2, 1, 0))               # [n2, B, k1]
+        return self._lvl_end(self.mat2, a)            # [k2, B, k1]
+
+    def inverse_internal(self, y):
+        """[k2, B, k1] -> [n1, B, n2] coefficients."""
+        a = self._lvl_tw(self.mat2i, y, self.twi)     # [n2, B, k1]
+        a = jnp.transpose(a, (2, 1, 0))               # [k1, B, n2]
+        return self._lvl_end(self.mat1i, a)           # [n1, B, n2]
+
+    def forward(self, x):
+        return self._from_internal(
+            jnp.transpose(self.forward_internal(self._to_internal(x)),
+                          (2, 1, 0)))
+
+    def mul(self, a, b):
+        """Full negacyclic ring multiply [B, N] x [B, N] -> [B, N]."""
+        ai = self._to_internal(a)
+        bi = self._to_internal(b)
+        fa = self.forward_internal(ai)
+        fb = self.forward_internal(bi)
+        return self._from_internal(
+            self.inverse_internal(_f.mul(fa, fb)))
+
+    def pointwise(self, fa, fb):
+        return _f.mul(fa, fb)

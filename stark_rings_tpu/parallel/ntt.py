@@ -179,11 +179,6 @@ class ShardedNTT:
             y = f.mul(y, tfac)
         return y
 
-    def _local_forward_tw(self, x):
-        """forward with the inverse twiddle order fix (see _local_inverse):
-        kept alias for symmetry."""
-        return self._local_forward(x)
-
     # -- public jitted entry points ---------------------------------------
     def shard_specs(self, batch_ndim: int = 0):
         """(coeff_spec, eval_spec): PartitionSpecs for the matrix layout."""

@@ -53,9 +53,9 @@ def exp(ring: RingModel, a: int):
         raise MonomialError(f"exponent {centered} out of monomial range")
     if spec_sign(a, q) == 1:
         return unit_monomial(ring, centered)
-    if D - centered >= D:
-        raise MonomialError(f"exponent {D - centered} out of range")
-    return unit_monomial(ring, D - centered)
+    if centered > D:
+        raise MonomialError(f"exponent {centered} out of monomial range")
+    return unit_monomial(ring, (D - centered) % D)
 
 
 def exp_signed(ring: RingModel, a: int):

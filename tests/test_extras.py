@@ -291,3 +291,46 @@ def test_algebra_error_and_frobenius():
     lhs = ring.ntt_frobenius(ring.ntt_mul(a, b), 1)
     rhs = ring.ntt_mul(ring.ntt_frobenius(a, 1), ring.ntt_frobenius(b, 1))
     assert (np.asarray(lhs) == np.asarray(rhs)).all()
+
+
+def test_dense_field_matrix_gadget_shape_and_roundtrip():
+    """Matrix<R: Decompose> over scalar field elements: n x m must become
+    n x (k*m) with column c*k+j = digit j of column c (mod.rs:276-309 via
+    the per-row slice decompose mod.rs:163-175) — regression for the
+    wrong-axis decomposition (rows were expanded instead of columns)."""
+    f = get_field("goldilocks")
+    e = FieldElems(f)
+    rng = random.Random(77)
+    M = Matrix.rand(e, 3, 2, rng)
+    G = M.gadget_decompose(256, 9)
+    assert (G.nrows, G.ncols) == (3, 18)
+    back = G.gadget_recompose(256, 9)
+    assert (np.asarray(back.vals) == np.asarray(M.vals)).all()
+    # cross-check digit placement against the sparse path (same layout)
+    dense_ints = M.decode()
+    S = SparseMatrix.from_entries(
+        e, 3, 2,
+        [(i, j, int(dense_ints[i][j])) for i in range(3) for j in range(2)])
+    GS = S.gadget_decompose(256, 9).to_dense().decode()
+    GD = G.decode()
+    for i in range(3):
+        assert list(GS[i]) == list(GD[i])
+
+
+def test_exp_out_of_range_negative_raises():
+    """exp() must reject out-of-range *negative* exponents too: for
+    sign(a) = -1 and center(a) > D the reference panics on the usize
+    underflow in unit_monomial(d - center) (monomial.rs:55-65); the old
+    guard let numpy wrap the negative index and returned X^{D-1}."""
+    from stark_rings_tpu.rings.monomial import MonomialError
+
+    ring = get_ring("goldilocks")  # D = 24
+    q = ring.q
+    with pytest.raises(MonomialError):
+        exp(ring, q - (ring.D + 1))   # center = D+1, sign = -1
+    # boundary: a = -D  ->  X^{D-D} = X^0 = 1 (reference returns this)
+    out = ring.decode(exp(ring, q - ring.D))
+    assert int(out[0]) == 1 and all(int(v) == 0 for v in out[1:])
+    # in-range negative still fine
+    e3 = ring.decode(exp(ring, q - 3))
+    assert int(e3[ring.D - 3]) == 1
