@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Time the MXU-v2 hybrid (XLA int8 dots + Pallas folds) on the chip."""
+"""Time the MXU-v2 hybrid (XLA int8 dots + Pallas folds) on the chip.
+All MB-scale tables are jit ARGUMENTS (constants choke the remote
+compiler)."""
 
 import json
 import time
@@ -36,18 +38,17 @@ def main():
     tp = Mxu2PallasNTT(N)
     rep(exp="build", sec=round(time.perf_counter() - t0, 1))
     rng = np.random.default_rng(0)
+    c = tp.consts()
 
     for B in (32, 64):
         a = jax.device_put(rng.integers(0, f.q, (B, N), dtype=np.uint64))
         b = jax.device_put(rng.integers(0, f.q, (B, N), dtype=np.uint64))
 
-        # individual pieces first (small graphs compile fast)
         try:
-            x = tp._to_internal(a)
-            dot1 = jax.jit(lambda v: tp.mat1.dot(
-                v.reshape(256, -1)))
-            V = dot1(x)
-            dt = timeit(dot1, x)
+            dot1 = jax.jit(lambda w, v: tp.mat1.dot(
+                tp._to_internal(v).reshape(256, -1), w))
+            V = dot1(c["w1"], a)
+            dt = timeit(dot1, c["w1"], a)
             rep(exp="dot1", B=B, us=round(dt * 1e6, 1),
                 us_per_elem=round(dt * 1e6 / B, 2))
         except Exception as e:  # noqa
@@ -55,8 +56,8 @@ def main():
             continue
         try:
             lo, hi = tp._tw32["tw"]
-            ftw = jax.jit(lambda v: fold_tw(v, lo, hi, 256))
-            dt = timeit(ftw, V)
+            ftw = jax.jit(lambda v, l, h: fold_tw(v, l, h, 256))
+            dt = timeit(ftw, V, lo, hi)
             rep(exp="fold_tw", B=B, us=round(dt * 1e6, 1),
                 us_per_elem=round(dt * 1e6 / B, 2))
             fe = jax.jit(lambda v: fold_end(v, 256))
@@ -65,16 +66,14 @@ def main():
                 us_per_elem=round(dt * 1e6 / B, 2))
         except Exception as e:  # noqa
             rep(exp="fold", B=B, error=f"{type(e).__name__}: {e}"[:300])
-            continue
 
-        # full mult: pallas epilogues
         try:
-            mulp = jax.jit(tp.mul)
+            mulp = tp.jit_mul()
             dt = timeit(mulp, a, b)
             rep(exp="mxu2_pallas_mul", B=B, us=round(dt * 1e6, 1),
+                us_per_elem=round(dt * 1e6 / B, 2),
                 mults_per_s=round(B / dt, 1))
             out = mulp(a, b)
-            # spot-check correctness vs the host oracle on 2 elements
             from stark_rings_tpu.native.host import HostGoldilocks
             hg = HostGoldilocks(N)
             want = hg.mul(np.asarray(a[:2]), np.asarray(b[:2]))
@@ -84,9 +83,24 @@ def main():
             rep(exp="mxu2_pallas_mul", B=B,
                 error=f"{type(e).__name__}: {e}"[:300])
 
-        # chained pointwise rate (VERDICT item 3)
         try:
-            fa = jax.jit(lambda v: tp.forward_internal(tp._to_internal(v)))(a)
+            base = Mxu2NTT.__dict__  # keep linters calm
+            tx = Mxu2NTT(N)
+            tx.mat1 = tp.mat1
+            tx.mat2 = tp.mat2
+            tx.mat1i = tp.mat1i
+            tx.mat2i = tp.mat2i
+            mulx = tx.jit_mul()
+            dt = timeit(mulx, a, b)
+            rep(exp="mxu2_xla_mul", B=B, us_per_elem=round(dt * 1e6 / B, 2),
+                mults_per_s=round(B / dt, 1))
+        except Exception as e:  # noqa
+            rep(exp="mxu2_xla_mul", B=B,
+                error=f"{type(e).__name__}: {e}"[:300])
+
+        try:
+            fa = jax.jit(lambda cc, v: tp.forward_internal(
+                tp._to_internal(v), cc))(c, a)
 
             CH = 16
 
@@ -102,28 +116,6 @@ def main():
         except Exception as e:  # noqa
             rep(exp="pallas_pointwise_chain", B=B,
                 error=f"{type(e).__name__}: {e}"[:300])
-
-    # honest serialized dot: dependency-chained int8 dots
-    try:
-        R, K, C = 2304, 2560, 8192
-        w = jnp.asarray(rng.integers(-127, 128, (R, K), dtype=np.int8))
-        x0 = jnp.asarray(rng.integers(-127, 128, (K, C), dtype=np.int8))
-
-        def chain(x):
-            y = x
-            for _ in range(8):
-                o = jax.lax.dot(w, y, preferred_element_type=jnp.int32)
-                y = jnp.concatenate(
-                    [(o & 127).astype(jnp.int8),
-                     (o[:K - R] & 127).astype(jnp.int8)], axis=0)
-            return y
-
-        cj = jax.jit(chain)
-        dt = timeit(cj, x0)
-        rep(exp="int8_dot_serialized", us_per_dot=round(dt * 1e6 / 8, 1),
-            tops=round(8 * 2 * R * K * C / dt / 1e12, 1))
-    except Exception as e:  # noqa
-        rep(exp="int8_dot_serialized", error=f"{type(e).__name__}: {e}"[:300])
 
     rep(exp="done")
 

@@ -197,16 +197,53 @@ class SparseMatrix:
                             self.rows, self.cols // k)
 
     def mul_sparse(self, other):
-        """sparse·sparse (sparse_matrix.rs:219-275) — dense accumulator."""
+        """sparse·sparse with a SPARSE result (sparse_matrix.rs:219-275).
+
+        The reference's column-index merge-join becomes: a host-side
+        equi-join of A's column indices with B's row indices (the index
+        structure is static data, never traced), then ONE device
+        gather-multiply + modular segment-sum over the matched term
+        pairs.  Output nnz = number of distinct (row, col) cells touched
+        — O(nnz_terms) memory, never the dense n*m accumulator.
+
+        Entries whose accumulated value is zero are kept (static shapes);
+        the reference drops them — observably equal through to_dense.
+        """
         if self.ncols != other.nrows:
             from . import AlgebraError
 
             raise AlgebraError(
                 f"DifferentLengths: {self.ncols} vs {other.nrows}")
-        from .matrix import Matrix
+        from collections import defaultdict
 
-        dense = other.to_dense().vals
-        return Matrix(self.e, self.mul_dense(dense))
+        ra = np.asarray(self.rows)
+        ka = np.asarray(self.cols)
+        kb = np.asarray(other.rows)
+        cb = np.asarray(other.cols)
+        by_row = defaultdict(list)
+        for j in range(len(kb)):
+            by_row[int(kb[j])].append(j)
+        ia, ib, keys = [], [], []
+        for i in range(len(ra)):
+            for j in by_row.get(int(ka[i]), ()):
+                ia.append(i)
+                ib.append(j)
+                keys.append((int(ra[i]), int(cb[j])))
+        f = self.e.f
+        if not ia:   # empty product: one zero padding entry
+            data = jnp.zeros((1,) + self.data.shape[1:], self.data.dtype)
+            return SparseMatrix(self.e, self.nrows, other.ncols, data,
+                                np.zeros(1, np.int32), np.zeros(1, np.int32))
+        uniq = sorted(set(keys))
+        pos = {k: t for t, k in enumerate(uniq)}
+        seg = np.asarray([pos[k] for k in keys], dtype=np.int32)
+        prod = self.e.mul(jnp.take(self.data, np.asarray(ia), axis=0),
+                          jnp.take(other.data, np.asarray(ib), axis=0))
+        out_data = f.segment_sum(prod, seg, len(uniq))
+        rows = np.asarray([k[0] for k in uniq], dtype=np.int32)
+        cols = np.asarray([k[1] for k in uniq], dtype=np.int32)
+        return SparseMatrix(self.e, self.nrows, other.ncols, out_data,
+                            rows, cols)
 
 
 def _elem_logical(elems):

@@ -101,6 +101,62 @@ class SparseMLE:
         new_idx = self.indices >> np.int64(k)
         return SparseMLE(e, self.num_vars - k, new_idx, new_vals)
 
+    def fix_variables_windowed(self, points, window: int | None = None):
+        """Windowed fix_variables (reference sparse.rs:170-207,381-394).
+
+        Instead of one eq-factor multiply per (entry, variable), build a
+        2^w eq table per window of w variables (by doubling: 2^w storage
+        muls shared across all entries) and charge each entry ONE gather
+        + multiply per window.  Equal to :meth:`fix_variables`; wins when
+        nnz >> 2^w (the reference picks w = log2(nnz))."""
+        k = len(points)
+        assert k <= self.num_vars
+        e = self.e
+        if k == 0:
+            return self
+        if window is None:
+            window = max(int(self.nnz).bit_length() - 1, 1)
+        vals = self.values
+        idx = self.indices
+        off = 0
+        while off < k:
+            w = min(window, k - off)
+            # eq table over the next w variables: table[t] =
+            # prod_j (bit_j(t) ? p_j : 1 - p_j), built by doubling
+            table = e.one()[None]
+            for j in range(w):
+                p = jnp.asarray(points[off + j])
+                lo = e.mul(table, jnp.asarray(e.sub(e.one(), p))[None])
+                hi = e.mul(table, p[None])
+                table = jnp.concatenate([lo, hi], axis=0)
+            low = (idx >> np.int64(off)) & np.int64((1 << w) - 1)
+            vals = e.mul(vals, jnp.take(table, low, axis=0))
+            off += w
+        return SparseMLE(e, self.num_vars - k, idx >> np.int64(k), vals)
+
+    def index(self, i: int):
+        """Log-time point lookup (reference's Index impl,
+        sparse.rs:348-366): returns the stored element at hypercube index
+        ``i`` (zero if absent).  Binary search over a host-side sorted
+        copy of the index array (built once, cached)."""
+        cache = getattr(self, "_index_cache", None)
+        if cache is None:
+            host = np.asarray(self.indices)
+            order = np.argsort(host, kind="stable")
+            cache = (host[order], order)
+            self._index_cache = cache
+        sorted_idx, order = cache
+        lo = int(np.searchsorted(sorted_idx, i, side="left"))
+        hi = int(np.searchsorted(sorted_idx, i, side="right"))
+        if lo == hi:
+            return self.e.zeros(_logical_elem_shape(self.e))
+        acc = None
+        vals = jnp.asarray(self.values)
+        for t in range(lo, hi):       # duplicates sum (map semantics)
+            v = vals[int(order[t])]
+            acc = v if acc is None else self.e.add(acc, v)
+        return acc
+
     def relabel(self, a: int, b: int, k: int):
         """Swap variable windows [a,a+k) / [b,b+k) (sparse.rs relabel):
         a pure index-bit permutation of the stored indices."""

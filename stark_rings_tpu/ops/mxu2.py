@@ -146,10 +146,15 @@ class PrescaledMat:
         acc = _f._reduce128(Bw, A)
         return _f.sub(acc, bias_mod)
 
-    def dot(self, x):
+    def dot(self, x, big=None):
         """u64 [C, cols] -> int32 bucket planes [K*R, cols] (digitize
-        fuses into the int8 dot at XLA level — measured free)."""
-        return jax.lax.dot(self.big, self.planes(x),
+        fuses into the int8 dot at XLA level — measured free).
+
+        ``big`` lets callers pass the weight matrix as a traced argument
+        instead of a closed-over constant (embedding MB-scale literals in
+        the HLO chokes the remote compiler)."""
+        w = self.big if big is None else big
+        return jax.lax.dot(w, self.planes(x),
                            preferred_element_type=jnp.int32)
 
     def apply(self, x):
@@ -225,42 +230,89 @@ class Mxu2NTT:
         y = mat.fold(V).reshape(mat.R, B, t)
         return _f.mul(y, tw[:, None, :])
 
-    def _lvl_end(self, mat, x):
+    def _lvl_end(self, mat, x, big=None):
         C, B, t = x.shape
-        V = mat.dot(x.reshape(C, B * t))
+        V = mat.dot(x.reshape(C, B * t), big)
         return self._fold_end(mat, V, B, t)
 
-    def _lvl_tw(self, mat, x, tw):
+    def _lvl_tw(self, mat, x, tw, big=None):
         C, B, t = x.shape
-        V = mat.dot(x.reshape(C, B * t))
+        V = mat.dot(x.reshape(C, B * t), big)
         return self._fold_tw(mat, V, tw, B, t)
 
+    # -- traced-constants plumbing ----------------------------------------
+    def consts(self):
+        """All MB-scale tables as a pytree, to pass as jit ARGUMENTS."""
+        return {"w1": self.mat1.big, "w2": self.mat2.big,
+                "w2i": self.mat2i.big, "w1i": self.mat1i.big,
+                "tw": self.tw, "twi": self.twi}
+
+    def _c(self, c, key, default):
+        return default if c is None else c[key]
+
     # -- transforms --------------------------------------------------------
-    def forward_internal(self, x):
+    def forward_internal(self, x, c=None):
         """[n1, B, n2] coeffs -> [k2, B, k1] evaluations."""
-        a = self._lvl_tw(self.mat1, x, self.tw)       # [k1, B, n2]
+        a = self._lvl_tw(self.mat1, x, self._c(c, "tw", self.tw),
+                         self._c(c, "w1", None))      # [k1, B, n2]
         a = jnp.transpose(a, (2, 1, 0))               # [n2, B, k1]
-        return self._lvl_end(self.mat2, a)            # [k2, B, k1]
+        return self._lvl_end(self.mat2, a, self._c(c, "w2", None))
 
-    def inverse_internal(self, y):
+    def inverse_internal(self, y, c=None):
         """[k2, B, k1] -> [n1, B, n2] coefficients."""
-        a = self._lvl_tw(self.mat2i, y, self.twi)     # [n2, B, k1]
+        a = self._lvl_tw(self.mat2i, y, self._c(c, "twi", self.twi),
+                         self._c(c, "w2i", None))     # [n2, B, k1]
         a = jnp.transpose(a, (2, 1, 0))               # [k1, B, n2]
-        return self._lvl_end(self.mat1i, a)           # [n1, B, n2]
+        return self._lvl_end(self.mat1i, a, self._c(c, "w1i", None))
 
-    def forward(self, x):
+    def forward(self, x, c=None):
         return self._from_internal(
-            jnp.transpose(self.forward_internal(self._to_internal(x)),
+            jnp.transpose(self.forward_internal(self._to_internal(x), c),
                           (2, 1, 0)))
 
-    def mul(self, a, b):
+    def mul(self, a, b, c=None):
         """Full negacyclic ring multiply [B, N] x [B, N] -> [B, N]."""
         ai = self._to_internal(a)
         bi = self._to_internal(b)
-        fa = self.forward_internal(ai)
-        fb = self.forward_internal(bi)
+        fa = self.forward_internal(ai, c)
+        fb = self.forward_internal(bi, c)
         return self._from_internal(
-            self.inverse_internal(_f.mul(fa, fb)))
+            self.inverse_internal(self.pointwise(fa, fb), c))
 
     def pointwise(self, fa, fb):
         return _f.mul(fa, fb)
+
+    def jit_mul(self):
+        """Jitted full multiply with every table passed as an argument."""
+        c = self.consts()
+        fn = jax.jit(lambda cc, a, b: self.mul(a, b, cc))
+        return lambda a, b: fn(c, a, b)
+
+    def staged_mul(self):
+        """Python-composed multiply from separately-jitted stage modules.
+
+        The remote compiler rejects the single giant module (dozens of
+        Pallas custom-calls); per-stage modules are small and compile
+        reliably.  Dependent dispatches pipeline on device, so the extra
+        call boundaries cost HBM round-trips only."""
+        c = self.consts()
+        ti = jax.jit(self._to_internal)
+        fi = jax.jit(self._from_internal)
+        l1 = jax.jit(lambda cc, x: self._lvl_tw(
+            self.mat1, x, cc["tw"], cc["w1"]))
+        tr = jax.jit(lambda a: jnp.transpose(a, (2, 1, 0)))
+        l2 = jax.jit(lambda cc, a: self._lvl_end(self.mat2, a, cc["w2"]))
+        pw = jax.jit(self.pointwise)
+        l2i = jax.jit(lambda cc, y: self._lvl_tw(
+            self.mat2i, y, cc["twi"], cc["w2i"]))
+        l1i = jax.jit(lambda cc, a: self._lvl_end(self.mat1i, a, cc["w1i"]))
+
+        def fwd(x):
+            return l2(c, tr(l1(c, ti(x))))
+
+        def mul(a, b):
+            prod = pw(fwd(a), fwd(b))
+            return fi(l1i(c, tr(l2i(c, prod))))
+
+        mul.forward = fwd  # type: ignore[attr-defined]
+        return mul

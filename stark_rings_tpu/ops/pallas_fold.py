@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_goldilocks import _mul_q, _reduce128, _sub_q
 from .mxu2 import B_BITS, K_BUCKETS
 
-__all__ = ["fold_end", "fold_tw", "pointwise_mul"]
+__all__ = ["fold_end", "fold_tw", "pointwise_mul", "pointwise_chain"]
 
 _BIAS = np.uint32(1 << 26)
 _BIAS_VAL = sum((1 << 26) << (B_BITS * k) for k in range(K_BUCKETS))
@@ -112,7 +112,8 @@ def fold_end(V, R, chunk=512, interpret=False):
     """int32 [K*R, cols] -> u64 [R, cols] (cols % chunk == 0 or one chunk)."""
     cols = V.shape[1]
     chunk = min(chunk, cols)
-    assert cols % chunk == 0
+    if cols % chunk:
+        chunk = cols
     kern = _make_fold_end_kernel(R)
     pcall = pl.pallas_call(
         kern,
@@ -136,7 +137,8 @@ def fold_tw(V, tw_lo, tw_hi, R, bc=2, interpret=False):
     cols = V.shape[1]
     B = cols // t
     bc = min(bc, B)
-    assert B % bc == 0
+    while B % bc:
+        bc -= 1
     kern = _make_fold_tw_kernel(R, t, bc)
     pcall = pl.pallas_call(
         kern,
@@ -161,7 +163,57 @@ def _pointwise_kernel(alo, ahi, blo, bhi, olo, ohi):
     ohi[:] = hi
 
 
-def pointwise_mul(a, b, chunk_rows=64, width=8192, interpret=False):
+def _make_chain_kernel(depth):
+    def kern(alo, ahi, blo, bhi, olo, ohi):
+        lo, hi = alo[:], ahi[:]
+        xlo, xhi = blo[:], bhi[:]
+        for _ in range(depth):
+            lo, hi = _mul_q(lo, hi, xlo, xhi)
+        olo[:] = lo
+        ohi[:] = hi
+
+    return kern
+
+
+def pointwise_chain(a, b, depth=16, chunk_rows=128, width=2048,
+                    interpret=False):
+    """x <- x*b (mod q), ``depth`` times, all inside VMEM.
+
+    The compute-envelope benchmark for the NTT-form pointwise hot loop
+    (ntt_form.rs:159-189): one kernel per tile does the whole dependent
+    chain on u32 pairs with zero intermediate HBM traffic."""
+    shape = a.shape
+    total = int(np.prod(shape))
+    if total % width:
+        width = shape[-1]
+    a2 = a.reshape(-1, width)
+    b2 = b.reshape(-1, width)
+    av = jax.lax.bitcast_convert_type(a2, jnp.uint32)
+    bv = jax.lax.bitcast_convert_type(b2, jnp.uint32)
+    rows = a2.shape[0]
+    chunk = min(chunk_rows, rows)
+    while rows % chunk:
+        chunk -= 1
+    pcall = pl.pallas_call(
+        _make_chain_kernel(depth),
+        in_specs=[_WHOLE] * 4,
+        out_specs=(_WHOLE, _WHOLE),
+        out_shape=(jax.ShapeDtypeStruct((chunk, width), jnp.uint32),
+                   jax.ShapeDtypeStruct((chunk, width), jnp.uint32)),
+        interpret=interpret,
+    )
+    los, his = [], []
+    for r0 in range(0, rows, chunk):
+        lo, hi = pcall(av[r0:r0 + chunk, :, 0], av[r0:r0 + chunk, :, 1],
+                       bv[r0:r0 + chunk, :, 0], bv[r0:r0 + chunk, :, 1])
+        los.append(lo)
+        his.append(hi)
+    lo = jnp.concatenate(los, axis=0) if len(los) > 1 else los[0]
+    hi = jnp.concatenate(his, axis=0) if len(his) > 1 else his[0]
+    return _pack_u64(lo, hi).reshape(shape)
+
+
+def pointwise_mul(a, b, chunk_rows=128, width=2048, interpret=False):
     """Canonical u64 [...] x [...] -> a*b mod q via a VMEM kernel.
 
     Operands are split into u32 planes at XLA level (a bitcast, free) and
@@ -176,7 +228,8 @@ def pointwise_mul(a, b, chunk_rows=64, width=8192, interpret=False):
     bv = jax.lax.bitcast_convert_type(b2, jnp.uint32)
     rows = a2.shape[0]
     chunk = min(chunk_rows, rows)
-    assert rows % chunk == 0
+    while rows % chunk:
+        chunk -= 1
     pcall = pl.pallas_call(
         _pointwise_kernel,
         in_specs=[_WHOLE] * 4,
@@ -234,11 +287,3 @@ class Mxu2PallasNTT(Mxu2NTT):
 
     def pointwise(self, fa, fb):
         return pointwise_mul(fa, fb, interpret=self.interpret)
-
-    def mul(self, a, b):
-        ai = self._to_internal(a)
-        bi = self._to_internal(b)
-        fa = self.forward_internal(ai)
-        fb = self.forward_internal(bi)
-        return self._from_internal(
-            self.inverse_internal(self.pointwise(fa, fb)))

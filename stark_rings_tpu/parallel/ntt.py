@@ -149,6 +149,57 @@ class ShardedNTT:
         x = self._apply_on_axis(self.row_ctx.forward, x, 1)
         return x
 
+    # -- overlapped (software-pipelined) variant ---------------------------
+    # The four-step transform's one all_to_all can hide behind compute by
+    # splitting the BATCH: while chunk i's transpose is in flight on ICI,
+    # chunk i+1 runs its column stage (XLA's async collectives + latency-
+    # hiding scheduler overlap the transfer; the SNIPPETS remote-copy
+    # pattern is the Pallas-level equivalent).  Semantically identical to
+    # _local_forward — validated on the CPU mesh; the overlap itself only
+    # materializes on real ICI.
+    def _pre_transpose(self, x):
+        """twist + column NTT + twiddle (everything before the exchange)."""
+        f = self.f
+        omega_pows, _, tw, _ = self.consts()
+        nd = 1 if f.limbed else 0
+        C = self.N2 // self.P
+        ofs = self._col_ofs()
+        cols = ofs + jnp.arange(C, dtype=jnp.int64)
+        if self.negacyclic:
+            colt, rowt = tw
+            rslice = jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(rowt), ofs, C, axis=0)
+            tfac = f.mul(_expand_col(jnp.asarray(colt), nd),
+                         _expand_row(rslice, nd))
+            x = f.mul(x, tfac)
+        x = self._apply_on_axis(self.col_ctx.forward, x, 2)
+        T = self._twiddle(jnp.asarray(self.k1_leaf), cols, omega_pows)
+        return f.mul(x, T)
+
+    def _exchange_and_rows(self, y):
+        nd = 1 if self.f.limbed else 0
+        nd_axis = y.ndim - 2 - nd
+        y = jax.lax.all_to_all(y, self.axis, split_axis=nd_axis,
+                               concat_axis=nd_axis + 1, tiled=True)
+        return self._apply_on_axis(self.row_ctx.forward, y, 1)
+
+    def _local_forward_overlap(self, x, chunks: int = 2):
+        """Batch-pipelined forward: needs a leading batch axis whose size
+        is divisible by ``chunks``."""
+        nd = 1 if self.f.limbed else 0
+        assert x.ndim >= 3 + nd and x.shape[0] % chunks == 0, \
+            "overlap variant needs a leading batch axis divisible by chunks"
+        parts = jnp.split(x, chunks, axis=0)
+        pre = [self._pre_transpose(parts[0])]
+        out = []
+        for i in range(chunks):
+            if i + 1 < chunks:
+                # issue chunk i's exchange, then (overlapping) compute
+                # chunk i+1's column stage
+                pre.append(self._pre_transpose(parts[i + 1]))
+            out.append(self._exchange_and_rows(pre[i]))
+        return jnp.concatenate(out, axis=0)
+
     def _local_inverse(self, y):
         """[..., N1/P, N2(, L)] -> [..., N1, C(, L)]."""
         f = self.f
@@ -188,24 +239,32 @@ class ShardedNTT:
         return (P(*lead, None, self.axis, *tail),
                 P(*lead, self.axis, None, *tail))
 
-    def make_fns(self, mesh: Mesh, batch_ndim: int = 0):
+    def make_fns(self, mesh: Mesh, batch_ndim: int = 0,
+                 overlap: bool = False):
         """Returns (forward, inverse, mul) jitted over the mesh.
 
         forward: [..., N1, N2] col-sharded -> [..., N1, N2] row-sharded
-        (leaf-order evaluations); mul keeps the coefficient layout."""
+        (leaf-order evaluations); mul keeps the coefficient layout.
+        ``overlap=True`` uses the batch-pipelined forward (requires a
+        leading batch axis, batch_ndim >= 1)."""
         self.consts()
         cspec, espec = self.shard_specs(batch_ndim)
+        if overlap:
+            assert batch_ndim >= 1, "overlap needs a batch axis"
+            local_forward = self._local_forward_overlap
+        else:
+            local_forward = self._local_forward
 
         fwd = jax.jit(jax.shard_map(
-            self._local_forward, mesh=mesh, in_specs=(cspec,),
+            local_forward, mesh=mesh, in_specs=(cspec,),
             out_specs=espec))
         inv = jax.jit(jax.shard_map(
             self._local_inverse, mesh=mesh, in_specs=(espec,),
             out_specs=cspec))
 
         def local_mul(a, b):
-            fa = self._local_forward(a)
-            fb = self._local_forward(b)
+            fa = local_forward(a)
+            fb = local_forward(b)
             return self._local_inverse(self.f.mul(fa, fb))
 
         mul = jax.jit(jax.shard_map(

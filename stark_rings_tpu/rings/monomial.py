@@ -82,3 +82,52 @@ def psi_range_check(ring: RingModel, a: int) -> bool:
     prod = ring.coeff_mul(psi(ring), b)
     c = ring.field.decode(ct(ring, prod))
     return int(c) == a % ring.q
+
+
+def exp_batched(ring: RingModel, a):
+    """Batched exp(): storage [...] -> (monomials [..., D(,L)], valid [...]).
+
+    Device-side mirror of :func:`exp` over a whole witness tensor: where
+    the reference would panic (centered > D, or centered >= D with
+    positive sign), ``valid`` is False and the monomial is zero.
+    """
+    import jax.numpy as jnp
+
+    f, D = ring.field, ring.D
+    vm = f.canon(a)                        # canonical |a|
+    vneg = f.canon(f.neg(a))               # canonical q - a
+    half = f.canon_const((ring.q - 1) // 2)
+    is_pos = f.geq(half, vm)               # sign(a) = +1  (incl. a = 0)
+    centered = f.select(is_pos, vm, vneg)  # |center(a)| as canonical
+    if f.limbed:
+        high_zero = jnp.all(centered[..., 1:] == 0, axis=-1)
+        small = centered[..., 0]
+    else:
+        high_zero = jnp.ones(jnp.shape(centered), dtype=bool)
+        small = centered
+    sm = jnp.where(high_zero, small, 0).astype(jnp.int32)
+    pos = jnp.where(jnp.asarray(is_pos), sm, (D - sm) % D)
+    valid = jnp.asarray(high_zero) & jnp.where(
+        jnp.asarray(is_pos), sm < D, sm <= D)
+    onehot = (jnp.arange(D, dtype=jnp.int32) == pos[..., None])
+    onehot = onehot & valid[..., None]
+    mono = f.select(onehot, f.ones(onehot.shape), f.zeros(onehot.shape))
+    return mono, valid
+
+
+def psi_range_check_batched(ring: RingModel, a):
+    """Batched psi range check: storage tensor [...] -> bool [...].
+
+    One traced graph range-checks a whole witness tensor on device
+    (monomial.rs:82-93 per element): valid(exp) AND ct(psi * exp(a)) == a.
+    """
+    import jax.numpy as jnp
+
+    f = ring.field
+    b, valid = exp_batched(ring, a)
+    prod = ring.coeff_mul(psi(ring), b)
+    c = ct(ring, prod)
+    eq = c == a
+    if f.limbed:
+        eq = jnp.all(eq, axis=-1)
+    return jnp.asarray(valid) & eq

@@ -57,9 +57,24 @@ class RingModel:
     # ------------------------------------------------------------------
     # derived tables (built lazily, cached)
     # ------------------------------------------------------------------
+    #: class-wide switch: apply CRT/ICRT as one fused D x D matmul
+    #: (ops/dense_linear.py) instead of the chained butterfly stages.
+    use_dense_crt: bool = True
+
     @cached_property
     def _stages(self):
         return derive_stage_tables(self.spec, self.field)
+
+    @cached_property
+    def _dense_crt(self):
+        """(crt, icrt) as single D x D DenseModMat maps, probed from the
+        integer spec (the composite of all butterfly layers + slot
+        isomorphisms, goldilocks/ntt.rs:68-127 etc.)."""
+        from ..ops.dense_linear import DenseModMat, probe_dense_matrix
+
+        mc = probe_dense_matrix(self.spec.crt, self.D, self.D, self.q)
+        mi = probe_dense_matrix(self.spec.icrt, self.D, self.D, self.q)
+        return (DenseModMat(self.field, mc), DenseModMat(self.field, mi))
 
     @cached_property
     def _reduce_table(self):
@@ -178,13 +193,25 @@ class RingModel:
         return self.field.mul(s, a)
 
     def crt(self, x):
-        """coeff -> NTT form (reference crt.rs:55-63 chain)."""
+        """coeff -> NTT form (reference crt.rs:55-63); by default the
+        whole chain is one fused D x D modular matmul."""
+        if self.use_dense_crt:
+            return self._dense_crt[0](x)
+        return self.crt_staged(x)
+
+    def icrt(self, x):
+        """NTT -> coeff form."""
+        if self.use_dense_crt:
+            return self._dense_crt[1](x)
+        return self.icrt_staged(x)
+
+    def crt_staged(self, x):
+        """The round-1 chained butterfly-stage path (kept as oracle)."""
         for st in self._stages[0]:
             x = st(x)
         return x
 
-    def icrt(self, x):
-        """NTT -> coeff form."""
+    def icrt_staged(self, x):
         for st in self._stages[1]:
             x = st(x)
         return x
@@ -374,5 +401,12 @@ RINGS: Dict[str, RingModel] = {}
 
 def get_ring(name: str) -> RingModel:
     if name not in RINGS:
-        RINGS[name] = RingModel(MODELS[name], FIELDS[_FIELD_FOR_MODEL[name]])
+        ring = RingModel(MODELS[name], FIELDS[_FIELD_FOR_MODEL[name]])
+        if name == "stark_prime":
+            # the dense D x D map over the 8-limb CIOS multiply unrolls
+            # to a ~10^5-op graph (256 CIOS muls): compile time explodes.
+            # The 2-term stage chain is the better graph for the 252-bit
+            # prime; crt_dense stays available (and equality-tested).
+            ring.use_dense_crt = False
+        RINGS[name] = ring
     return RINGS[name]

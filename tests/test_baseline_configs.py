@@ -67,7 +67,9 @@ def test_config2_babybear_deg_2_12_batched_mul_invertibility():
     na = ring.crt(a)
     inv = jax.jit(ring.ntt_inv)(na)
     one = ring.decode(ring.ntt_mul(na, inv))
-    assert all(int(v) == 1 for v in np.asarray(one).reshape(-1)[:64])
+    # every slot of every batch element must invert (fully-splitting
+    # ring: slotwise field inverses) — not just a prefix
+    assert all(int(v) == 1 for v in np.asarray(one).reshape(-1))
     # and the product roundtrips through icrt/crt
     back = ring.decode(ring.crt(ring.icrt(ring.ntt_mul(ring.crt(a),
                                                        ring.crt(b)))))
@@ -109,11 +111,22 @@ def test_config4_20var_mle_eval_fix_matvec():
     part = mle.fix_variables(point[:8])
     val2 = part.evaluate(point[8:])
     assert int(f.decode(val)) == int(f.decode(val2))
-    # mat-vec over a sparse matrix against the MLE's evaluation table
+    # mat-vec over a sparse matrix against the MLE's evaluation table,
+    # value-checked against a python int oracle
     S = SparseMatrix.rand(e, 64, 1024, 0.02, pr)
     v = evals[:1024]
     out = S.mul_vec(v)
     assert out.shape[0] == 64
+    vd = [int(x) for x in f.decode(v)]
+    rows = np.asarray(S.rows)
+    cols = np.asarray(S.cols)
+    data = [int(x) for x in f.decode(S.data)]
+    want = [0] * 64
+    for i in range(S.nnz):
+        want[int(rows[i])] = (want[int(rows[i])]
+                              + data[i] * vd[int(cols[i])]) % f.q
+    got = [int(x) for x in f.decode(out)]
+    assert got == want
 
 
 def test_config5_sharded_ntt_smoke():

@@ -334,3 +334,76 @@ def test_exp_out_of_range_negative_raises():
     # in-range negative still fine
     e3 = ring.decode(exp(ring, q - 3))
     assert int(e3[ring.D - 3]) == 1
+
+
+def test_sparse_mle_windowed_fix_and_index():
+    """Windowed fix (sparse.rs:170-207,381-394) equals the eq-factor path
+    and the dense oracle; index() is the log-time point lookup
+    (sparse.rs:348-366)."""
+    from stark_rings_tpu.mle import SparseMLE
+
+    f = get_field("goldilocks")
+    e = FieldElems(f)
+    rng = random.Random(11)
+    nv, nnz = 8, 20
+    m = SparseMLE.rand_with_config(e, nv, nnz, rng)
+    pts = [f.rand((), rng) for _ in range(3)]
+    a = m.fix_variables(pts)
+    b = m.fix_variables_windowed(pts)
+    c = m.fix_variables_windowed(pts, window=2)
+    dense = m.to_dense().fix_variables(pts)
+    for got in (a, b, c):
+        gd = got.to_dense().decode()
+        wd = dense.decode()
+        assert [int(v) for v in gd] == [int(v) for v in wd]
+    # index(): present, absent, and duplicate-summing entries
+    m2 = SparseMLE.from_pairs(e, 4, [(3, 7), (9, 11), (3, 5)])
+    assert int(f.decode(m2.index(3))) == 12
+    assert int(f.decode(m2.index(9))) == 11
+    assert int(f.decode(m2.index(4))) == 0
+
+
+def test_psi_range_check_batched():
+    """Batched psi range check mirrors the scalar reference semantics
+    (monomial.rs:82-93,120-134) over a whole tensor, incl. the 252-bit
+    limbed field."""
+    from stark_rings_tpu.rings.monomial import (
+        psi_range_check, psi_range_check_batched)
+
+    for name in ("goldilocks", "stark_prime"):
+        ring = get_ring(name)
+        q, D = ring.q, ring.D
+        d_prime = D // 2
+        vals = [0, 1, d_prime - 1, d_prime, D - 1, D, D + 1,
+                q - 1, q - (d_prime - 1), q - d_prime, q - D, q - (D + 1)]
+        enc = ring.field.encode(np.array(vals, dtype=object))
+        got = np.asarray(psi_range_check_batched(ring, enc))
+        want = [psi_range_check(ring, v) for v in vals]
+        assert got.tolist() == want, (name, got.tolist(), want)
+        assert want[0] and want[1] and want[2] and not want[3]
+        if name == "stark_prime":
+            # the (-d', d') property needs a power-of-two cyclotomic
+            # (X^D + 1, where X^{-i} = -X^{D-i}); cf. monomial.rs:120-134
+            assert want[7] and want[8] and not want[9]
+
+
+def test_ntt_pow_and_pow_rot():
+    """Direct tests for ntt_pow (slotwise square&multiply) and pow_rot
+    (iterated Cyclotomic::rot, traits.rs:58-84 / ring.rs pow)."""
+    ring = get_ring("goldilocks")
+    rng = random.Random(41)
+    a = ring.rand_coeff((), rng)
+    na = ring.crt(a)
+    # ntt_pow vs repeated ntt_mul
+    p3 = ring.ntt_pow(na, 3)
+    want3 = ring.ntt_mul(ring.ntt_mul(na, na), na)
+    assert (np.asarray(p3) == np.asarray(want3)).all()
+    p1 = ring.ntt_pow(na, 1)
+    assert (np.asarray(p1) == np.asarray(na)).all()
+    p0 = ring.decode(ring.icrt(ring.ntt_pow(na, 0)))
+    assert int(p0[0]) == 1 and all(int(v) == 0 for v in p0[1:])
+    # pow_rot(a, k) == a * X^k (coeff_mul with a monomial)
+    for k in (1, 5, ring.D - 1):
+        got = ring.pow_rot(a, k)
+        want = ring.coeff_mul(a, monomial(ring, k))
+        assert (np.asarray(got) == np.asarray(want)).all(), k

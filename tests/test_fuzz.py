@@ -72,3 +72,58 @@ def test_fuzz_add_sub_rot(name):
         assert [int(v) for v in gs[i]] == [(x + y) % q for x, y in zip(ai, bi)]
         assert [int(v) for v in gd[i]] == [(x - y) % q for x, y in zip(ai, bi)]
         assert [int(v) for v in gr[i]] == spec.rot(ai)
+
+
+# -- reference-volume consistency (goldilocks/ntt.rs:801-806 runs 10^6
+# scalar iterations; here 10^4 elements per model go through ONE jitted
+# batched call — the TPU-native equivalent volume) ----------------------
+
+VOLUME = 10_000
+
+
+def _rand_canonical_device(ring, n, seed):
+    """Canonical storage batch [n, D] generated host-side as raw ints."""
+    rng = np.random.default_rng(seed)
+    f = ring.field
+    if f.limbed:
+        # top limb < 2^26 keeps values < 2^251 < q (canonical)
+        limbs = rng.integers(0, 1 << 32, size=(n, ring.D, 8),
+                             dtype=np.uint64)
+        limbs[..., 7] &= (1 << 26) - 1
+        return f.from_canon(jax.device_put(limbs.astype(np.uint32)))
+    dt = np.uint32 if f.dtype == np.uint32 else np.uint64
+    raw = rng.integers(0, f.q, size=(n, ring.D), dtype=dt)
+    return f.from_canon(jax.device_put(raw))
+
+
+@pytest.mark.parametrize("name", list(MODELS))
+def test_volume_crt_roundtrip(name):
+    ring = get_ring(name)
+    a = _rand_canonical_device(ring, VOLUME, hash(name) & 0xFFFF)
+
+    @jax.jit
+    def rt(x):
+        return ring.icrt(ring.crt(x))
+
+    back = rt(a)
+    assert (np.asarray(back) == np.asarray(a)).all(), name
+
+
+@pytest.mark.parametrize("name", list(MODELS))
+def test_volume_ntt_mul_vs_schoolbook(name):
+    """Fast path (crt -> slotwise ext mul -> icrt) vs the in-framework
+    schoolbook oracle on a 256-element batch in one call (the reference's
+    test_mul_crt consistency category, goldilocks/mod.rs:232-247)."""
+    n = 256
+    ring = get_ring(name)
+    a = _rand_canonical_device(ring, n, (hash(name) >> 3) & 0xFFFF)
+    b = _rand_canonical_device(ring, n, (hash(name) >> 7) & 0xFFFF)
+
+    @jax.jit
+    def both(x, y):
+        fast = ring.icrt(ring.ntt_mul(ring.crt(x), ring.crt(y)))
+        slow = ring.coeff_mul(x, y)
+        return fast, slow
+
+    fast, slow = both(a, b)
+    assert (np.asarray(fast) == np.asarray(slow)).all(), name

@@ -122,12 +122,51 @@ def test_sparse_sparse_mul():
     q = f.q
     A = SparseMatrix.rand(e, 4, 6, 0.5, rng)
     B = SparseMatrix.rand(e, 6, 3, 0.5, rng)
-    got = A.mul_sparse(B).decode()
+    C = A.mul_sparse(B)
+    got = C.to_dense().decode()
     DA = A.to_dense().decode()
     DB = B.to_dense().decode()
     want = _int_matmul([list(r) for r in DA], [list(r) for r in DB], q)
     for i in range(4):
         assert list(got[i]) == want[i]
+
+
+def test_sparse_sparse_mul_stays_sparse():
+    """The merge-join keeps sparsity: multiplying two n x n matrices with
+    one diagonal band each must produce O(n) entries, not the n^2 dense
+    accumulator (sparse_matrix.rs:219-275)."""
+    f = get_field("goldilocks")
+    e = FieldElems(f)
+    n = 64
+    A = SparseMatrix.from_entries(
+        e, n, n, [(i, i, i + 1) for i in range(n)])
+    B = SparseMatrix.from_entries(
+        e, n, n, [(i, (i + 1) % n, i + 2) for i in range(n)])
+    C = A.mul_sparse(B)
+    assert C.nnz <= n          # dense accumulator would be n*n = 4096
+    got = C.to_dense().decode()
+    q = f.q
+    for i in range(n):
+        for j in range(n):
+            want = (i + 1) * (i + 2) % q if j == (i + 1) % n else 0
+            assert int(got[i][j]) == want
+    # ring-element variant (NTT form, slotwise mul)
+    from stark_rings_tpu.rings import get_ring
+
+    ring = get_ring("frog")
+    er = RingElems(ring)
+    A2 = SparseMatrix.from_entries(
+        er, 3, 3, [(0, 1, [2] * ring.D), (2, 2, [3] * ring.D)])
+    B2 = SparseMatrix.from_entries(
+        er, 3, 3, [(1, 0, [5] * ring.D), (2, 2, [7] * ring.D)])
+    C2 = A2.mul_sparse(B2)
+    assert C2.nnz <= 2
+    got2 = C2.to_dense().decode()
+    want01 = [v % ring.q for v in
+              np.asarray(ring.decode(ring.ntt_mul(
+                  ring.encode_coeffs(np.full(ring.D, 2, dtype=object)),
+                  ring.encode_coeffs(np.full(ring.D, 5, dtype=object)))))]
+    assert [int(v) for v in got2[0][0]] == [int(v) for v in want01]
 
 
 def test_symmetric_matrix_and_gadget_recompose():

@@ -132,3 +132,30 @@ def test_sharded_deg_2_16_mul_vs_native_oracle():
     host = HostGoldilocks(N)
     want = host.mul(a_np[None], b_np[None])[0]
     assert (got == want).all()
+
+
+def test_sharded_forward_overlap_matches():
+    """Batch-pipelined forward (ppermute/async-overlap prototype) equals
+    the single-all_to_all path on the CPU mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import numpy as np
+
+    from stark_rings_tpu.fields import get_field
+    from stark_rings_tpu.parallel import ShardedNTT, make_mesh
+
+    f = get_field("goldilocks")
+    N = 1 << 12
+    sn = ShardedNTT("goldilocks", N, 8)
+    mesh = make_mesh(8)
+    fwd, _, mul = sn.make_fns(mesh, batch_ndim=1)
+    fwd_o, _, mul_o = sn.make_fns(mesh, batch_ndim=1, overlap=True)
+    rng = np.random.default_rng(17)
+    a = sn.to_matrix(rng.integers(0, f.q, size=(4, N), dtype=np.uint64))
+    b = sn.to_matrix(rng.integers(0, f.q, size=(4, N), dtype=np.uint64))
+    assert (np.asarray(jax.device_get(fwd_o(a)))
+            == np.asarray(jax.device_get(fwd(a)))).all()
+    assert (np.asarray(jax.device_get(mul_o(a, b)))
+            == np.asarray(jax.device_get(mul(a, b)))).all()
