@@ -27,15 +27,22 @@ REPS = 3
 
 
 def chained_time(mul, a, b, depth=DEPTH, reps=REPS):
+    """Dependency-chained timing with DISTINCT second operands: no
+    dispatch ever repeats with identical arguments, so neither runtime
+    caching nor cross-call overlap can flatter the number."""
     import jax
+    import jax.numpy as jnp
 
+    bs = [b]
+    for i in range(1, depth):
+        bs.append(jnp.roll(b, i, axis=0))
     x = mul(a, b)
     jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(reps):
         x = a
-        for _ in range(depth):
-            x = mul(x, b)
+        for i in range(depth):
+            x = mul(x, bs[i])
         jax.block_until_ready(x)
     return (time.perf_counter() - t0) / (reps * depth)
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..fields import Field
@@ -77,18 +78,41 @@ def sign(f: Field, x):
 
 
 def linf_norm(f: Field, x, axis=None):
-    """max |signed| over the given axes (canonical magnitude storage)."""
+    """max |signed| over the given axes (canonical magnitude storage).
+
+    Limbed fields reduce with a halving TREE of lexicographic compares
+    (log2 n vectorized steps, arbitrary axis), not a per-element loop."""
     _, mag = signed_magnitude(f, x)
-    if f.limbed:
-        # lexicographic max via repeated compare — reduce sequentially
-        flat = mag.reshape((-1, mag.shape[-1])) if axis is None else None
-        assert axis is None, "limbed linf_norm supports full reduction only"
-        acc = flat[0]
-        for i in range(1, flat.shape[0]):
-            ge = f.geq(flat[i], acc)
-            acc = f.select(ge, flat[i], acc)
-        return acc
-    return jnp.max(mag) if axis is None else jnp.max(mag, axis=axis)
+    if not f.limbed:
+        return jnp.max(mag) if axis is None else jnp.max(mag, axis=axis)
+    if axis is None:
+        mag = mag.reshape((-1, mag.shape[-1]))
+        axis = 0
+        squeeze = True
+    else:
+        axis = axis % (mag.ndim - 1)   # never the limb axis
+        squeeze = False
+    rem = None
+    while mag.shape[axis] > 1:
+        n = mag.shape[axis]
+        if n % 2:
+            tail = jax.lax.slice_in_dim(mag, n - 1, n, axis=axis)
+            if rem is None:
+                rem = tail
+            else:
+                ge = f.geq(tail, rem)
+                rem = f.select(ge, tail, rem)
+            mag = jax.lax.slice_in_dim(mag, 0, n - 1, axis=axis)
+            n -= 1
+        a = jax.lax.slice_in_dim(mag, 0, n // 2, axis=axis)
+        b = jax.lax.slice_in_dim(mag, n // 2, n, axis=axis)
+        ge = f.geq(a, b)
+        mag = f.select(ge, a, b)
+    if rem is not None:
+        ge = f.geq(rem, mag)
+        mag = f.select(ge, rem, mag)
+    out = jnp.squeeze(mag, axis=axis)
+    return out if not squeeze else out
 
 
 def _divmod_scalar(mag, b: int):

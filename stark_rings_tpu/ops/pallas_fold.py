@@ -258,11 +258,17 @@ from .mxu2 import Mxu2NTT  # noqa: E402  (no import cycle: mxu2 is leaf)
 
 
 class Mxu2PallasNTT(Mxu2NTT):
-    """Mxu2NTT with the fold/twiddle epilogues in Pallas kernels."""
+    """Mxu2NTT with the fold/twiddle epilogues in Pallas kernels.
 
-    def __init__(self, N: int = 1 << 16, n1=None, interpret: bool = False):
+    ``pointwise_pallas`` selects the slot-product implementation: the
+    XLA u64 chain fuses into one elementwise kernel and wins for a
+    single product; the Pallas kernel wins for in-VMEM chains."""
+
+    def __init__(self, N: int = 1 << 16, n1=None, interpret: bool = False,
+                 pointwise_pallas: bool = False):
         super().__init__(N, n1)
         self.interpret = interpret
+        self.pointwise_pallas = pointwise_pallas
         self._tw32 = {}
         for name, tab in (("tw", self.tw), ("twi", self.twi)):
             v = jax.lax.bitcast_convert_type(tab, jnp.uint32)
@@ -286,4 +292,6 @@ class Mxu2PallasNTT(Mxu2NTT):
         return y.reshape(mat.R, B, t)
 
     def pointwise(self, fa, fb):
-        return pointwise_mul(fa, fb, interpret=self.interpret)
+        if self.pointwise_pallas:
+            return pointwise_mul(fa, fb, interpret=self.interpret)
+        return super().pointwise(fa, fb)

@@ -2,9 +2,9 @@
 (crates/ring/src/cyclotomic_ring/models/) as batched JAX ring kernels,
 plus power-of-two scale-ups, monomial algebra and sampling."""
 
-from . import monomial, sampling
+from . import absorb, monomial, sampling
 from .power import PowerRing, get_power_ring
 from .ring import RINGS, RingModel, get_ring
 
 __all__ = ["RingModel", "get_ring", "RINGS", "PowerRing", "get_power_ring",
-           "monomial", "sampling"]
+           "monomial", "sampling", "absorb"]

@@ -407,3 +407,65 @@ def test_ntt_pow_and_pow_rot():
         got = ring.pow_rot(a, k)
         want = ring.coeff_mul(a, monomial(ring, k))
         assert (np.asarray(got) == np.asarray(want)).all(), k
+
+
+def test_absorb_transcript():
+    """Absorb/transcript surface (OverField bound, poly_ring.rs:19-30):
+    canonical base-field absorption + deterministic Fiat-Shamir
+    squeezing with rejection sampling, incl. ring elements and the
+    limbed field."""
+    from stark_rings_tpu.rings.absorb import Transcript, to_absorb
+
+    ring = get_ring("goldilocks")
+    rng = random.Random(19)
+    x = ring.rand_coeff((2,), rng)
+    f = ring.field
+    raw = to_absorb(f, x)
+    assert len(raw) == 2 * ring.D * 8
+    # deterministic: same absorbs -> same challenges
+    t1, t2 = Transcript(), Transcript()
+    for t in (t1, t2):
+        t.absorb(b"x", f, x)
+    c1 = f.decode(t1.squeeze_field_elements(f, 4))
+    c2 = f.decode(t2.squeeze_field_elements(f, 4))
+    assert [int(v) for v in c1] == [int(v) for v in c2]
+    assert all(0 <= int(v) < f.q for v in c1)
+    # different absorbs -> different challenges
+    t3 = Transcript()
+    t3.absorb(b"x", f, ring.rand_coeff((2,), rng))
+    c3 = f.decode(t3.squeeze_field_elements(f, 4))
+    assert [int(v) for v in c3] != [int(v) for v in c1]
+    # squeezing twice advances the state
+    c4 = f.decode(t1.squeeze_field_elements(f, 4))
+    assert [int(v) for v in c4] != [int(v) for v in c1]
+    # limbed field: 32-byte elements, rejection keeps them canonical
+    fs = get_field("stark_prime")
+    t5 = Transcript()
+    t5.absorb_bytes(b"seed", b"42")
+    cs = fs.decode(t5.squeeze_field_elements(fs, 3))
+    assert all(0 <= int(v) < fs.q for v in cs)
+    # ring element squeeze has the right shape
+    el = t5.squeeze_ring_element(ring)
+    assert el.shape == (ring.D,)
+
+
+def test_limbed_linf_norm_axis():
+    """Tree-reduction linf norm for the 252-bit field, with axis support
+    (was: python loop, full reduction only)."""
+    from stark_rings_tpu.decomp.balanced import linf_norm
+    from stark_rings_tpu.spec.decomp import to_signed
+
+    f = get_field("stark_prime")
+    q = f.q
+    vals = [[1, q - 5, 3], [q - 2, 7, 0]]
+    x = f.encode(np.array(vals, dtype=object))
+    # full reduction
+    full = linf_norm(f, x)
+    want_full = max(abs(to_signed(v, q)) for row in vals for v in row)
+    got_full = int(f.decode(f.from_canon(full)))
+    assert got_full == want_full
+    # per-row reduction (axis=-1 over the value axis)
+    per_row = linf_norm(f, x, axis=1)
+    want_rows = [max(abs(to_signed(v, q)) for v in row) for row in vals]
+    got_rows = [int(v) for v in f.decode(f.from_canon(per_row))]
+    assert got_rows == want_rows
