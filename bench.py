@@ -27,24 +27,34 @@ REPS = 3
 
 
 def chained_time(mul, a, b, depth=DEPTH, reps=REPS):
-    """Dependency-chained timing with DISTINCT second operands: no
-    dispatch ever repeats with identical arguments, so neither runtime
-    caching nor cross-call overlap can flatter the number."""
+    """Checksum-forced dependency-chained timing.
+
+    On this stack `jax.block_until_ready` can return before the device
+    finishes multi-dispatch chains (measured rates exceeded HBM
+    physics); the only airtight fence is fetching a VALUE that depends
+    on every output byte.  Each chain step uses a distinct second
+    operand and the measured region ends with device_get of an XOR
+    checksum of the final result."""
     import jax
     import jax.numpy as jnp
 
-    bs = [b]
-    for i in range(1, depth):
-        bs.append(jnp.roll(b, i, axis=0))
+    csum = jax.jit(lambda x: jnp.bitwise_xor.reduce(
+        x.reshape(-1, x.shape[-1])).max())
     x = mul(a, b)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    _ = int(jax.device_get(csum(x)))   # warm incl. checksum graph
+    best = None
+    for r in range(reps):
+        # fresh operand set every rep: no dispatch ever repeats its args
+        bs = [jnp.roll(b, 1 + i + r * depth, axis=1) for i in range(depth)]
+        jax.block_until_ready(bs)
+        t0 = time.perf_counter()
         x = a
         for i in range(depth):
             x = mul(x, bs[i])
-        jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / (reps * depth)
+        _ = int(jax.device_get(csum(x)))
+        dt = (time.perf_counter() - t0) / depth
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def primary(N, B):

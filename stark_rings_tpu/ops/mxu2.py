@@ -288,14 +288,33 @@ class Mxu2NTT:
         fn = jax.jit(lambda cc, a, b: self.mul(a, b, cc))
         return lambda a, b: fn(c, a, b)
 
-    def staged_mul(self):
-        """Python-composed multiply from separately-jitted stage modules.
+    def staged_mul(self, granularity: str = "stage"):
+        """Python-composed multiply from separately-jitted modules.
 
-        The remote compiler rejects the single giant module (dozens of
-        Pallas custom-calls); per-stage modules are small and compile
-        reliably.  Dependent dispatches pipeline on device, so the extra
-        call boundaries cost HBM round-trips only."""
+        The remote compiler cannot handle the single giant module (the
+        full mul is ~100 Pallas custom-calls: compile runs for an hour);
+        but every DISPATCH through the tunnel costs ~1 ms, so fewer,
+        bigger modules win at runtime.
+
+        granularity:
+          "stage"     — ~12 small modules per mul (fast compile)
+          "transform" — 3 modules per mul: forward (used twice) and the
+                        pointwise+inverse tail (slower compile, ~4x
+                        fewer dispatches)
+        """
         c = self.consts()
+        if granularity == "transform":
+            fwd_m = jax.jit(lambda cc, x: self._fwd_graph(cc, x))
+            tail_m = jax.jit(lambda cc, fa, fb: self._tail_graph(cc, fa, fb))
+
+            def fwd(x):
+                return fwd_m(c, x)
+
+            def mul(a, b):
+                return tail_m(c, fwd(a), fwd(b))
+
+            mul.forward = fwd  # type: ignore[attr-defined]
+            return mul
         ti = jax.jit(self._to_internal)
         fi = jax.jit(self._from_internal)
         l1 = jax.jit(lambda cc, x: self._lvl_tw(
@@ -316,3 +335,10 @@ class Mxu2NTT:
 
         mul.forward = fwd  # type: ignore[attr-defined]
         return mul
+
+    def _fwd_graph(self, c, x):
+        return self.forward_internal(self._to_internal(x), c)
+
+    def _tail_graph(self, c, fa, fb):
+        prod = self.pointwise(fa, fb)
+        return self._from_internal(self.inverse_internal(prod, c))

@@ -83,6 +83,28 @@ class PowerRing:
     def coeff_mul(self, a, b):
         return self.ctx.mul(a, b)
 
+    def mxu_ctx(self, pallas: bool = True):
+        """The MXU v2 fast multiplier for this degree (goldilocks only;
+        built lazily — the pre-scaled weight digitization is a host-side
+        one-time cost).  `mxu_ctx().staged_mul()` is the production
+        multiply; bit-exact vs `coeff_mul` (leaf orders differ only
+        internally — coefficients in, coefficients out)."""
+        assert self.field.name == "goldilocks", \
+            "MXU v2 weights are Goldilocks-specific (fold identities)"
+        cache = getattr(self, "_mxu_ctx", None)
+        if cache is None:
+            cache = self._mxu_ctx = {}
+        if pallas not in cache:
+            if pallas:
+                from ..ops.pallas_fold import Mxu2PallasNTT
+
+                cache[pallas] = Mxu2PallasNTT(self.D, pointwise_pallas=True)
+            else:
+                from ..ops.mxu2 import Mxu2NTT
+
+                cache[pallas] = Mxu2NTT(self.D)
+        return cache[pallas]
+
     def ntt_inv(self, a):
         return self.field.inv(a)
 

@@ -101,3 +101,29 @@ def test_pallas_pointwise_chain_interpret():
     for _ in range(5):
         want = F.mul(want, b)
     assert np.array_equal(got, np.asarray(want))
+
+
+@pytest.mark.parametrize("logN", [12, 13])
+def test_mxu2_other_degrees(logN):
+    """The v2 pipeline generalizes to any power-of-two degree (asymmetric
+    N1 x N2 for odd log2 N)."""
+    n = 1 << logN
+    rng = np.random.default_rng(40 + logN)
+    a = jax.device_put(rng.integers(0, F.q, (2, n), dtype=np.uint64))
+    b = jax.device_put(rng.integers(0, F.q, (2, n), dtype=np.uint64))
+    t = Mxu2NTT(n)
+    ctx = NTTContext(F, n, negacyclic=True)
+    assert np.array_equal(np.asarray(t.jit_mul()(a, b)),
+                          np.asarray(ctx.mul(a, b)))
+
+
+def test_power_ring_mxu_ctx():
+    from stark_rings_tpu.rings.power import get_power_ring
+
+    pr = get_power_ring("goldilocks", 12)
+    rng = np.random.default_rng(77)
+    a = jax.device_put(rng.integers(0, F.q, (2, 4096), dtype=np.uint64))
+    b = jax.device_put(rng.integers(0, F.q, (2, 4096), dtype=np.uint64))
+    m = pr.mxu_ctx(pallas=False)
+    assert np.array_equal(np.asarray(m.staged_mul()(a, b)),
+                          np.asarray(pr.coeff_mul(a, b)))
