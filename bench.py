@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-DEPTH = 4
+DEPTH = 8
 REPS = 3
 
 
@@ -57,27 +57,62 @@ def chained_time(mul, a, b, depth=DEPTH, reps=REPS):
     return best
 
 
+def tunnel_roundtrip_ms():
+    """Warm tiny-op round trip: contextualizes per-dispatch latency on
+    this tunnel (healthy ~1 ms; has been observed at 27 ms under load)."""
+    import jax
+    import jax.numpy as jnp
+
+    t = jax.jit(lambda x: (x * jnp.uint32(3) + jnp.uint32(1)).sum())
+    x = jnp.arange(1024, dtype=jnp.uint32)
+    _ = int(jax.device_get(t(x)))
+    t0 = time.perf_counter()
+    _ = int(jax.device_get(t(x)))
+    return (time.perf_counter() - t0) * 1e3
+
+
 def primary(N, B):
-    """Returns (path_name, sec_per_call, pointwise_rate)."""
+    """Measures BOTH the MXU v2 staged-Pallas path and the radix-4
+    single-dispatch path — each at its own best batch size — and
+    reports the winner.  The multi-dispatch Pallas path pays ~12 tunnel
+    round trips per multiply, so on a congested tunnel the robust
+    single-dispatch radix-4 path can win the day."""
     import jax
 
     from stark_rings_tpu.fields import get_field
+    from stark_rings_tpu.ops.ntt import get_ntt
 
     f = get_field("goldilocks")
     rng = np.random.default_rng(0)
-    a = jax.device_put(rng.integers(0, f.q, size=(B, N), dtype=np.uint64))
-    b = jax.device_put(rng.integers(0, f.q, size=(B, N), dtype=np.uint64))
 
-    path = None
-    dt = None
-    tp = None
+    def operands(nb):
+        aa = jax.device_put(
+            rng.integers(0, f.q, size=(nb, N), dtype=np.uint64))
+        bb = jax.device_put(
+            rng.integers(0, f.q, size=(nb, N), dtype=np.uint64))
+        return aa, bb
+
+    rates = {}    # path -> mults/s
+    batches = {}  # path -> batch used
+    ctx = get_ntt("goldilocks", N, negacyclic=True)
+    try:
+        a, b = operands(B)
+        dtc = chained_time(jax.jit(ctx.mul), a, b)
+        rates["jnp_radix4"] = B / dtc
+        batches["jnp_radix4"] = B
+    except Exception as exc:  # noqa
+        print(f"radix4 failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
     try:
         from stark_rings_tpu.ops.pallas_fold import Mxu2PallasNTT
 
-        tp = Mxu2PallasNTT(N)
+        PB = 32  # best fold-chunk shape (B=64 doubles dispatch count)
+        tp = Mxu2PallasNTT(N, pointwise_pallas=True)
         mul = tp.staged_mul()
-        dt = chained_time(mul, a, b)
-        path = "mxu2_pallas_staged"
+        a, b = operands(PB)
+        dtc = chained_time(mul, a, b)
+        rates["mxu2_pallas_staged"] = PB / dtc
+        batches["mxu2_pallas_staged"] = PB
         try:  # spot-check exactness vs the native oracle
             from stark_rings_tpu.native.host import HostGoldilocks
 
@@ -88,28 +123,16 @@ def primary(N, B):
         except (OSError, ImportError):
             pass
     except Exception as exc:  # noqa
-        print(f"pallas path failed ({type(exc).__name__}: {exc}), "
-              "falling back", file=sys.stderr)
-    if dt is None:
-        try:
-            from stark_rings_tpu.ops.mxu2 import Mxu2NTT
-
-            tx = Mxu2NTT(N)
-            dt = chained_time(tx.staged_mul(), a, b)
-            path = "mxu2_xla_staged"
-        except Exception as exc:  # noqa
-            print(f"mxu2 xla failed ({type(exc).__name__}), falling back",
-                  file=sys.stderr)
-    if dt is None:
-        from stark_rings_tpu.ops.ntt import get_ntt
-
-        ctx = get_ntt("goldilocks", N, negacyclic=True)
-        dt = chained_time(jax.jit(ctx.mul), a, b)
-        path = "jnp_radix4"
+        print(f"pallas path failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+    if not rates:
+        raise RuntimeError("all primary paths failed")
+    path = max(rates, key=rates.get)
 
     # NTT-form pointwise rate (folding-prover hot loop): dependent chain
     # of CH multiplies; best of the in-kernel Pallas chain and XLA
     CH = 16
+    a, b = operands(B)
 
     def _time_chain(pwj):
         out = pwj(a, b)
@@ -137,7 +160,8 @@ def primary(N, B):
     except Exception as exc:  # noqa
         print(f"pallas pointwise chain failed ({type(exc).__name__})",
               file=sys.stderr)
-    return path, dt, pw_rate, pw_path
+    all_rates = {k: [batches[k], round(v, 1)] for k, v in rates.items()}
+    return path, rates[path], batches[path], pw_rate, pw_path, all_rates
 
 
 def model_rates():
@@ -183,16 +207,16 @@ def model_rates():
 
 
 def main():
-    N, B = 1 << 16, 32
+    N, B = 1 << 16, 64
     try:
-        path, dt, pw_rate, pw_path = primary(N, B)
+        rt_ms = tunnel_roundtrip_ms()
+        path, ring_mults, pb, pw_rate, pw_path, all_rates = primary(N, B)
     except Exception as exc:  # noqa
         print(f"primary bench failed ({type(exc).__name__}: {exc}), "
               "falling back to deg 2^12", file=sys.stderr)
         _fallback(1 << 12, 32)
         return
 
-    ring_mults = B / dt
     butterflies = ring_mults * 3 * (N // 2) * (N.bit_length() - 1)
     models = model_rates()
 
@@ -204,12 +228,14 @@ def main():
         "unit": "ring mults/s",
         "vs_baseline": round(ring_mults / 5e8, 9),
         "path": path,
-        "timing": "dependency_chained",
+        "path_rates_by_batch": all_rates,
+        "timing": "dependency_chained_checksum_forced",
+        "tunnel_roundtrip_ms": round(rt_ms, 1),
         "equiv_butterflies_per_sec": round(butterflies, 0),
         "ntt_form_pointwise_ring_mults_per_sec": round(pw_rate, 1),
         "pointwise_path": pw_path,
         "model_crt_mults_per_sec": models,
-        "batch": B,
+        "batch": pb,
         "device": str(__import__("jax").devices()[0]),
     }))
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..fields import Field
+from .collectives import psum_words
 
 __all__ = ["ShardedMatVec"]
 
@@ -46,7 +47,7 @@ class ShardedMatVec:
             prod = e.mul(A_blk, v_blk[None])        # [n, m_loc]+elem
             w = f.widen(prod)                       # [n, m_loc, ..., W]
             local_words = jnp.sum(w, axis=1)
-            total = jax.lax.psum(local_words, axis)
+            total = psum_words(local_words, axis)
             return f.reduce_words(total)
 
         a_spec, v_spec, out_spec = self.specs()

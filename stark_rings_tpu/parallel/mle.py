@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..fields import Field
+from .collectives import psum_words
 
 __all__ = ["ShardedMLE"]
 
@@ -112,7 +113,7 @@ class ShardedMLE:
         def local(evals):
             w = f.widen(evals)
             local_words = jnp.sum(w.reshape(-1, w.shape[-1]), axis=0)
-            total = jax.lax.psum(local_words, self.axis)
+            total = psum_words(local_words, self.axis)
             return f.reduce_words(total)
 
         return jax.jit(jax.shard_map(local, mesh=self.mesh,
@@ -128,7 +129,7 @@ class ShardedMLE:
             prod = f.mul(a, b)
             w = f.widen(prod)
             local_words = jnp.sum(w.reshape(-1, w.shape[-1]), axis=0)
-            total = jax.lax.psum(local_words, self.axis)
+            total = psum_words(local_words, self.axis)
             return f.reduce_words(total)
 
         return jax.jit(jax.shard_map(local, mesh=self.mesh,
