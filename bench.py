@@ -164,6 +164,24 @@ def primary(N, B):
     return path, rates[path], batches[path], pw_rate, pw_path, all_rates
 
 
+def babybear_pow2_rate(N=1 << 12, B=512):
+    """BASELINE config 2: BabyBear deg-2^12 batched negacyclic multiply
+    via the MXU digit path (ops/mxu_bb.py) — all-XLA, one dispatch per
+    multiply.  Operands in Montgomery storage (the ring's native form)."""
+    import jax
+
+    from stark_rings_tpu.rings import get_power_ring
+
+    ring = get_power_ring("babybear", N.bit_length() - 1)
+    tx = ring.mxu_ctx()
+    rng = np.random.default_rng(2)
+    q = ring.field.q
+    a = jax.device_put(rng.integers(0, q, size=(B, N), dtype=np.uint32))
+    b = jax.device_put(rng.integers(0, q, size=(B, N), dtype=np.uint32))
+    dt = chained_time(tx.jit_mul(), a, b, depth=8, reps=2)
+    return round(B / dt, 1)
+
+
 def model_rates():
     """Per-reference-model fused-CRT multiply throughput (batched,
     chained): crt(a), crt(b), slotwise ext mul, icrt."""
@@ -219,6 +237,12 @@ def main():
 
     butterflies = ring_mults * 3 * (N // 2) * (N.bit_length() - 1)
     models = model_rates()
+    try:
+        bb_rate = babybear_pow2_rate()
+    except Exception as exc:  # noqa
+        print(f"babybear pow2 bench failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+        bb_rate = None
 
     print(json.dumps({
         "metric": f"goldilocks_deg2^{N.bit_length() - 1}"
@@ -235,6 +259,7 @@ def main():
         "ntt_form_pointwise_ring_mults_per_sec": round(pw_rate, 1),
         "pointwise_path": pw_path,
         "model_crt_mults_per_sec": models,
+        "babybear_deg2^12_ring_mults_per_sec": bb_rate,
         "batch": pb,
         "device": str(__import__("jax").devices()[0]),
     }))

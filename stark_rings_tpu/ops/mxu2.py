@@ -164,6 +164,8 @@ class PrescaledMat:
 class Mxu2NTT:
     """Negacyclic ring multiply for N = N1*N2 (default 256*256 = 2^16)."""
 
+    F = _f  # the field whose modulus the twiddle/pointwise muls use
+
     def __init__(self, N: int = 1 << 16, n1: int | None = None):
         self.N = N
         if n1 is None:
@@ -226,9 +228,9 @@ class Mxu2NTT:
         return mat.fold(V).reshape(mat.R, B, t)
 
     def _fold_tw(self, mat, V, tw, B, t):
-        """fold + mid-twiddle (tw: u64 [R, t], broadcast over B)."""
+        """fold + mid-twiddle (tw: storage [R, t], broadcast over B)."""
         y = mat.fold(V).reshape(mat.R, B, t)
-        return _f.mul(y, tw[:, None, :])
+        return self.F.mul(y, tw[:, None, :])
 
     def _lvl_end(self, mat, x, big=None):
         C, B, t = x.shape
@@ -280,7 +282,7 @@ class Mxu2NTT:
             self.inverse_internal(self.pointwise(fa, fb), c))
 
     def pointwise(self, fa, fb):
-        return _f.mul(fa, fb)
+        return self.F.mul(fa, fb)
 
     def jit_mul(self):
         """Jitted full multiply with every table passed as an argument."""

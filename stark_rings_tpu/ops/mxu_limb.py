@@ -1,0 +1,162 @@
+"""MXU digit-plane matmul for LIMBED fields (the 252-bit stark prime).
+
+The stark_prime dense CRT (a 16 x 16 constant matrix over the 252-bit
+field, /root/reference/crates/ring/src/cyclotomic_ring/models/stark_prime/ntt.rs:121-234
+composed into one linear map) could not use ops/dense_linear.py: the
+DenseModMat formulation inlines 256 eight-limb CIOS multiplies, a ~10^5
+-op graph that the remote compiler chokes on.  This module applies the
+same pre-scaled signed-digit-weight construction as ops/mxu2.py, sized
+for an 8-limb modulus:
+
+* data: 36 unsigned 7-bit planes covering the 252-bit storage limbs
+  (digits straddle the u32 limb boundaries);
+* weights: pre-multiplied by ``2^(7l) * 2^256 mod q`` and digitized
+  into 33 signed 8-bit bucket planes, so ONE int8 matmul
+  ``[33R, 36C] @ [36C, B]`` replaces all R*C field multiplies;
+* fold: bucket packing into base-2^32 words, then eight word-REDC
+  rounds (the pre-absorbed 2^256 cancels) and one conditional
+  subtract — ~64 u64 multiplies per OUTPUT instead of ~130 per
+  MATRIX ENTRY.
+
+Montgomery storage commutes with Fq-linear maps, so the matrix applies
+to storage limbs directly (same argument as ops/dense_linear.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import Field
+from .mxu2 import _digitize_signed_host
+
+__all__ = ["LimbPrescaledMat"]
+
+_M32 = np.uint64(0xFFFFFFFF)
+
+D_BITS = 7
+B_BITS = 8
+
+
+class LimbPrescaledMat:
+    """Constant [R, C] matrix over a limbed field, applied on the MXU.
+
+    ``x``: storage uint32 [..., C, L] -> M @ x mod q, uint32 [..., R, L],
+    exact.  Drop-in for ops/dense_linear.DenseModMat on limbed fields.
+    """
+
+    def __init__(self, field: Field, m_ints):
+        assert field.limbed
+        self.f = field
+        q = field.q
+        L = field.N_LIMBS
+        self.L = L
+        bits = 32 * L
+        # q < 2^(32L): storage values have at most qbits = q.bit_length()
+        qbits = q.bit_length()
+        P = -(-qbits // D_BITS)            # 7-bit data planes
+        K = (qbits + B_BITS - 1) // B_BITS + 1  # signed 8-bit buckets
+        self.P, self.K = P, K
+        m = np.asarray(m_ints, dtype=object)
+        R, C = m.shape
+        self.R, self.C = R, C
+        assert P * C * 128 * 127 < 2**31, "int32 accumulation overflow"
+        Rmont = pow(2, bits, q)            # fold REDC divides by 2^(32L)
+        big = np.zeros((K * R, P * C), dtype=np.int8)
+        for l in range(P):
+            scale = pow(2, D_BITS * l, q) * Rmont % q
+            for r in range(R):
+                for c in range(C):
+                    dg = _digitize_signed_host(int(m[r, c]) * scale % q,
+                                               k=K)
+                    for k in range(K):
+                        big[k * R + r, l * C + c] = dg[k]
+        # NB: all tables stay NUMPY — this object is cached on RingModel
+        # and may be built inside a jit trace; jnp constants created
+        # in-trace would leak tracers (see CLAUDE.md / Field.encode).
+        self.big = big
+        # constants for the fold
+        self._qprime32 = np.uint64(pow(-q, -1, 1 << 32))
+        self._q_limbs = [np.uint64((q >> (32 * j)) & 0xFFFFFFFF)
+                         for j in range(L)]
+        bias_val = sum((1 << 26) << (B_BITS * k) for k in range(K))
+        bias_red = bias_val * pow(1 << bits, -1, q) % q
+        self._bias_red = np.array([(bias_red >> (32 * j)) & 0xFFFFFFFF
+                                   for j in range(L)], dtype=np.uint32)
+        #: words needed to hold sum_k (2^27) 2^(8k): 8(K-1)+27 bits
+        self._n_words = (B_BITS * (K - 1) + 27) // 32 + 2
+
+    # -- device pipeline ---------------------------------------------------
+    def planes(self, x2):
+        """storage u32 [B, C, L] -> int8 [P*C, B] of 7-bit digits."""
+        outs = []
+        for l in range(self.P):
+            pos = D_BITS * l
+            j, off = pos >> 5, pos & 31
+            lo = x2[..., j] >> np.uint32(off)
+            if off > 32 - D_BITS and j + 1 < self.L:
+                lo = lo | (x2[..., j + 1] << np.uint32(32 - off))
+            outs.append((lo & np.uint32(0x7F)).astype(jnp.int8))
+        # [P, B, C] -> [P, C, B] -> [P*C, B]
+        pl = jnp.stack(outs, axis=0)
+        return jnp.transpose(pl, (0, 2, 1)).reshape(self.P * self.C, -1)
+
+    def fold(self, V):
+        """int32 [K*R, B] bucket planes -> canonical u32 [R, B, L].
+
+        value = sum_k (V_k + 2^26) 2^(8k) (bias makes buckets
+        nonnegative); eight REDC rounds divide by 2^256 (pre-absorbed
+        into the weights); the constant bias image is subtracted mod q.
+        """
+        R, K, L = self.R, self.K, self.L
+        B = V.shape[-1]
+        zero = jnp.zeros((R, B), dtype=jnp.uint64)
+        words = [zero] * self._n_words
+        for k in range(K):
+            b = (jax.lax.bitcast_convert_type(V[k * R:(k + 1) * R],
+                                              jnp.uint32)
+                 + np.uint32(1 << 26)).astype(jnp.uint64)
+            pos = B_BITS * k
+            j, sh = pos >> 5, pos & 31
+            contrib = b << np.uint64(sh)       # < 2^59
+            words[j] = words[j] + (contrib & _M32)
+            words[j + 1] = words[j + 1] + (contrib >> np.uint64(32))
+        # carry-normalize to base-2^32 digits
+        digits = []
+        carry = zero
+        for w in words:
+            t = w + carry
+            digits.append(t & _M32)
+            carry = t >> np.uint64(32)
+        digits.append(carry)
+        digits.append(zero)
+        # L REDC rounds: value /= 2^32 each (exact: digit 0 forced to 0)
+        for _ in range(L):
+            m = (digits[0] * self._qprime32) & _M32
+            carry = zero
+            for j in range(L):
+                s = digits[j] + m * self._q_limbs[j] + carry
+                digits[j] = s & _M32
+                carry = s >> np.uint64(32)
+            for j in range(L, len(digits)):
+                s = digits[j] + carry
+                digits[j] = s & _M32
+                carry = s >> np.uint64(32)
+            digits = digits[1:] + [zero]
+        # REDC(T) < q + T/2^256 < 2q: one conditional subtract
+        limbs = digits[:L]
+        mask = self.f._geq_q(limbs)
+        limbs = self.f._sub_q(limbs, mask)
+        out = jnp.stack(limbs, axis=-1).astype(jnp.uint32)  # [R, B, L]
+        return self.f.sub(out, self._bias_red)
+
+    def __call__(self, x):
+        """storage [..., C, L] -> [..., R, L] (DenseModMat interface)."""
+        lead = x.shape[:-2]
+        x2 = x.reshape((-1,) + x.shape[-2:])            # [B, C, L]
+        V = jax.lax.dot(self.big, self.planes(x2),
+                        preferred_element_type=jnp.int32)
+        y = self.fold(V)                                # [R, B, L]
+        return jnp.transpose(y, (1, 0, 2)).reshape(lead + (self.R, self.L))

@@ -84,16 +84,24 @@ class PowerRing:
         return self.ctx.mul(a, b)
 
     def mxu_ctx(self, pallas: bool = True):
-        """The MXU v2 fast multiplier for this degree (goldilocks only;
-        built lazily — the pre-scaled weight digitization is a host-side
-        one-time cost).  `mxu_ctx().staged_mul()` is the production
-        multiply; bit-exact vs `coeff_mul` (leaf orders differ only
-        internally — coefficients in, coefficients out)."""
-        assert self.field.name == "goldilocks", \
-            "MXU v2 weights are Goldilocks-specific (fold identities)"
+        """The MXU v2 fast multiplier for this degree (goldilocks and
+        babybear; built lazily — the pre-scaled weight digitization is a
+        host-side one-time cost).  `mxu_ctx().staged_mul()` /
+        `.jit_mul()` is the production multiply; bit-exact vs
+        `coeff_mul` (leaf orders differ only internally — coefficients
+        in, coefficients out; operands in field STORAGE form)."""
         cache = getattr(self, "_mxu_ctx", None)
         if cache is None:
             cache = self._mxu_ctx = {}
+        if self.field.name == "babybear":
+            # 31-bit modulus: all-XLA REDC fold, no Pallas epilogue needed
+            if "bb" not in cache:
+                from ..ops.mxu_bb import MxuBBNTT
+
+                cache["bb"] = MxuBBNTT(self.D)
+            return cache["bb"]
+        assert self.field.name == "goldilocks", \
+            "MXU v2 weights exist for goldilocks/babybear only"
         if pallas not in cache:
             if pallas:
                 from ..ops.pallas_fold import Mxu2PallasNTT

@@ -74,6 +74,14 @@ class RingModel:
 
         mc = probe_dense_matrix(self.spec.crt, self.D, self.D, self.q)
         mi = probe_dense_matrix(self.spec.icrt, self.D, self.D, self.q)
+        if self.field.limbed:
+            # 8-limb CIOS broadcast unrolls to ~10^5 ops (256 CIOS muls);
+            # the MXU digit-plane formulation is one int8 matmul + 16
+            # word-REDC folds (ops/mxu_limb.py).
+            from ..ops.mxu_limb import LimbPrescaledMat
+
+            return (LimbPrescaledMat(self.field, mc),
+                    LimbPrescaledMat(self.field, mi))
         return (DenseModMat(self.field, mc), DenseModMat(self.field, mi))
 
     @cached_property
@@ -402,11 +410,5 @@ RINGS: Dict[str, RingModel] = {}
 def get_ring(name: str) -> RingModel:
     if name not in RINGS:
         ring = RingModel(MODELS[name], FIELDS[_FIELD_FOR_MODEL[name]])
-        if name == "stark_prime":
-            # the dense D x D map over the 8-limb CIOS multiply unrolls
-            # to a ~10^5-op graph (256 CIOS muls): compile time explodes.
-            # The 2-term stage chain is the better graph for the 252-bit
-            # prime; crt_dense stays available (and equality-tested).
-            ring.use_dense_crt = False
         RINGS[name] = ring
     return RINGS[name]
