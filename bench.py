@@ -104,6 +104,21 @@ def primary(N, B):
         print(f"radix4 failed ({type(exc).__name__}: {exc})",
               file=sys.stderr)
     try:
+        # single-dispatch-per-multiply MXU path (XLA folds): slower than
+        # the Pallas folds on a healthy tunnel but immune to the
+        # 25 ms/dispatch congestion episodes (one module per multiply)
+        from stark_rings_tpu.ops.mxu2 import Mxu2NTT
+
+        XB = 128
+        tx = Mxu2NTT(N)
+        a, b = operands(XB)
+        dtc = chained_time(tx.jit_mul(), a, b, reps=2)
+        rates["mxu2_xla"] = XB / dtc
+        batches["mxu2_xla"] = XB
+    except Exception as exc:  # noqa
+        print(f"mxu2_xla failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+    try:
         from stark_rings_tpu.ops.pallas_fold import Mxu2PallasNTT
 
         PB = 32  # best fold-chunk shape (B=64 doubles dispatch count)
@@ -164,7 +179,7 @@ def primary(N, B):
     return path, rates[path], batches[path], pw_rate, pw_path, all_rates
 
 
-def babybear_pow2_rate(N=1 << 12, B=512):
+def babybear_pow2_rate(N=1 << 12, B=4096):
     """BASELINE config 2: BabyBear deg-2^12 batched negacyclic multiply
     via the MXU digit path (ops/mxu_bb.py) — all-XLA, one dispatch per
     multiply.  Operands in Montgomery storage (the ring's native form)."""
@@ -190,8 +205,8 @@ def model_rates():
     from stark_rings_tpu.rings import get_ring
 
     out = {}
-    for name, B in (("goldilocks", 4096), ("babybear", 1024),
-                    ("frog", 4096), ("stark_prime", 256)):
+    for name, B in (("goldilocks", 16384), ("babybear", 4096),
+                    ("frog", 16384), ("stark_prime", 1024)):
         try:
             ring = get_ring(name)
             f = ring.field
@@ -225,7 +240,8 @@ def model_rates():
 
 
 def main():
-    N, B = 1 << 16, 64
+    N, B = 1 << 16, 128  # B large enough to stay compute-bound even at
+    #                      25 ms/dispatch tunnel-congestion episodes
     try:
         rt_ms = tunnel_roundtrip_ms()
         path, ring_mults, pb, pw_rate, pw_path, all_rates = primary(N, B)

@@ -93,7 +93,10 @@ class PrescaledMat:
                     dg = _digitize_signed_host(int(m[r, c]) * scale % _Q)
                     for k in range(K_BUCKETS):
                         big[k * R + r, l * C + c] = dg[k]
-        self.big = jnp.asarray(big)
+        # numpy on purpose: these objects are cached (PowerRing,
+        # RingModel) and may be built inside a jit trace; jnp
+        # constants created in-trace would leak tracers.
+        self.big = big
 
     # -- device helpers ---------------------------------------------------
     def planes(self, x):
@@ -209,8 +212,8 @@ class Mxu2NTT:
             for j in range(N2):
                 tw[k1, j] = pow(psi, j, q) * pow(om, k1 * j, q) % q
                 twi[j, k1] = pow(psi_i, j, q) * pow(om_i, k1 * j, q) % q
-        self.tw = jnp.asarray(tw)
-        self.twi = jnp.asarray(twi)
+        self.tw = tw
+        self.twi = twi
 
     # -- layout helpers ---------------------------------------------------
     def _to_internal(self, x):

@@ -64,7 +64,7 @@ class BBPrescaledMat:
                                                k=K_BUCKETS)
                     for k in range(K_BUCKETS):
                         big[k * R + r, l * C + c] = dg[k]
-        self.big = jnp.asarray(big)
+        self.big = big  # numpy: safe to build inside a trace
 
     def planes(self, x):
         """u32 [C, cols] -> int8 [P*C, cols] of 7-bit digits."""
@@ -156,5 +156,5 @@ class MxuBBNTT(Mxu2NTT):
                              % q) * _R32 % q
                 twi[j, k1] = (pow(psi_i, j, q) * pow(om_i, k1 * j, q)
                               % q) * _R32 % q
-        self.tw = jnp.asarray(tw)
-        self.twi = jnp.asarray(twi)
+        self.tw = tw
+        self.twi = twi

@@ -70,19 +70,17 @@ class RingModel:
         """(crt, icrt) as single D x D DenseModMat maps, probed from the
         integer spec (the composite of all butterfly layers + slot
         isomorphisms, goldilocks/ntt.rs:68-127 etc.)."""
-        from ..ops.dense_linear import DenseModMat, probe_dense_matrix
+        from ..ops.dense_linear import probe_dense_matrix
+        from ..ops.mxu_dense import prescaled_dense
 
         mc = probe_dense_matrix(self.spec.crt, self.D, self.D, self.q)
         mi = probe_dense_matrix(self.spec.icrt, self.D, self.D, self.q)
-        if self.field.limbed:
-            # 8-limb CIOS broadcast unrolls to ~10^5 ops (256 CIOS muls);
-            # the MXU digit-plane formulation is one int8 matmul + 16
-            # word-REDC folds (ops/mxu_limb.py).
-            from ..ops.mxu_limb import LimbPrescaledMat
-
-            return (LimbPrescaledMat(self.field, mc),
-                    LimbPrescaledMat(self.field, mi))
-        return (DenseModMat(self.field, mc), DenseModMat(self.field, mi))
+        # int8 digit-plane matmul per field (ops/mxu_dense.py): one MXU
+        # dot + per-output fold instead of D*D emulated wide multiplies
+        # (for the 8-limb stark prime the DenseModMat graph — 256 CIOS
+        # muls — additionally choked the remote compiler).
+        return (prescaled_dense(self.field, mc),
+                prescaled_dense(self.field, mi))
 
     @cached_property
     def _reduce_table(self):
