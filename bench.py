@@ -145,17 +145,22 @@ def primary(N, B):
     path = max(rates, key=rates.get)
 
     # NTT-form pointwise rate (folding-prover hot loop): dependent chain
-    # of CH multiplies; best of the in-kernel Pallas chain and XLA
-    CH = 16
+    # of CH multiplies inside ONE module (tunnel-dispatch amortized),
+    # checksum-fenced; best of the in-kernel Pallas chain and XLA
+    CH = 64
     a, b = operands(B)
 
     def _time_chain(pwj):
+        import jax.numpy as jnp
+
+        cs = jax.jit(lambda x: jnp.bitwise_xor.reduce(
+            x.reshape(-1, x.shape[-1])).max())
         out = pwj(a, b)
-        jax.block_until_ready(out)
+        _ = int(jax.device_get(cs(out)))
         t0 = time.perf_counter()
         for _ in range(4):
             out = pwj(out, b)
-        jax.block_until_ready(out)
+        _ = int(jax.device_get(cs(out)))
         return 4 * B * CH / (time.perf_counter() - t0)
 
     def xla_chain(x, y):

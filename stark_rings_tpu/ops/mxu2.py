@@ -288,8 +288,12 @@ class Mxu2NTT:
         return self.F.mul(fa, fb)
 
     def jit_mul(self):
-        """Jitted full multiply with every table passed as an argument."""
-        c = self.consts()
+        """Jitted full multiply with every table passed as an argument.
+
+        The tables are device_put ONCE here: consts() is numpy (trace-
+        safe), but passing numpy per call would re-upload MBs through
+        the tunnel on every dispatch."""
+        c = jax.device_put(self.consts())
         fn = jax.jit(lambda cc, a, b: self.mul(a, b, cc))
         return lambda a, b: fn(c, a, b)
 
@@ -307,7 +311,7 @@ class Mxu2NTT:
                         pointwise+inverse tail (slower compile, ~4x
                         fewer dispatches)
         """
-        c = self.consts()
+        c = jax.device_put(self.consts())  # upload tables once, not per call
         if granularity == "transform":
             fwd_m = jax.jit(lambda cc, x: self._fwd_graph(cc, x))
             tail_m = jax.jit(lambda cc, fa, fb: self._tail_graph(cc, fa, fb))

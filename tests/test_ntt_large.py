@@ -51,7 +51,7 @@ def test_primitive_roots():
 
 @pytest.mark.parametrize("name,N", [
     ("goldilocks", 64), ("goldilocks", 256),
-    ("babybear", 64), ("stark_prime", 16),
+    ("babybear", 64), ("stark_prime", 16), ("stark_prime", 256),
 ])
 def test_negacyclic_roundtrip_and_mul(name, N):
     f = get_field(name)
@@ -113,3 +113,29 @@ def test_leaf_order_is_permutation_of_evaluations():
         for j in reversed(range(N)):
             want = (want * z + a_i[j]) % q
         assert got[i] == want, i
+
+
+def test_stark_prime_power_ring_deg_2_10():
+    """252-bit Starknet-prime big-degree ring (2-adicity 192 allows any
+    power of two): roundtrip + a spot product vs the host schoolbook.
+
+    Beyond the reference (its stark_prime model stops at D=16,
+    stark_prime/ntt.rs:13); the generalization reuses the same
+    fully-splitting negacyclic NTT machinery."""
+    from stark_rings_tpu.rings import get_power_ring
+
+    ring = get_power_ring("stark_prime", 10)
+    f = ring.field
+    n = ring.D
+    rng = random.Random(41)
+    a_i = [rng.randrange(f.q) for _ in range(n)]
+    a = jax.numpy.asarray(ring.encode_coeffs(np.array(a_i, dtype=object)))
+    back = ring.decode(ring.icrt(ring.crt(a)))
+    assert [int(v) for v in back] == a_i
+    # x * X^1 rotates negacyclically
+    x1 = [0] * n
+    x1[1] = 1
+    b = jax.numpy.asarray(ring.encode_coeffs(np.array(x1, dtype=object)))
+    got = ring.decode(ring.coeff_mul(a, b))
+    want = [(-a_i[-1]) % f.q] + a_i[:-1]
+    assert [int(v) for v in got] == want
