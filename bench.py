@@ -121,9 +121,9 @@ def primary(N, B):
     try:
         from stark_rings_tpu.ops.pallas_fold import Mxu2PallasNTT
 
-        PB = 32  # best fold-chunk shape (B=64 doubles dispatch count)
+        PB = 64  # with "mixed" granularity dispatch count stays at 5/mul
         tp = Mxu2PallasNTT(N, pointwise_pallas=True)
-        mul = tp.staged_mul()
+        mul = tp.staged_mul(granularity="mixed")
         a, b = operands(PB)
         dtc = chained_time(mul, a, b)
         rates["mxu2_pallas_staged"] = PB / dtc
@@ -202,6 +202,27 @@ def babybear_pow2_rate(N=1 << 12, B=4096):
     return round(B / dt, 1)
 
 
+def stark_pow2_rate(N=1 << 12, B=256):
+    """252-bit stark-prime deg-2^12 negacyclic multiply via the limbed
+    MXU four-step (ops/mxu_limb.py MxuLimbNTT) — beyond-reference
+    capability (its stark_prime model stops at D=16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stark_rings_tpu.rings import get_power_ring
+
+    ring = get_power_ring("stark_prime", N.bit_length() - 1)
+    tx = ring.mxu_ctx()
+    rng = np.random.default_rng(3)
+    limbs = rng.integers(0, 1 << 32, size=(2, B, N, 8),
+                         dtype=np.uint64).astype(np.uint32)
+    limbs[..., 7] &= (1 << 26) - 1        # < q guaranteed
+    a = jax.device_put(jnp.asarray(limbs[0]))
+    b = jax.device_put(jnp.asarray(limbs[1]))
+    dt = chained_time(tx.jit_mul(), a, b, depth=4, reps=2)
+    return round(B / dt, 1)
+
+
 def model_rates():
     """Per-reference-model fused-CRT multiply throughput (batched,
     chained): crt(a), crt(b), slotwise ext mul, icrt."""
@@ -264,6 +285,12 @@ def main():
         print(f"babybear pow2 bench failed ({type(exc).__name__}: {exc})",
               file=sys.stderr)
         bb_rate = None
+    try:
+        sk_rate = stark_pow2_rate()
+    except Exception as exc:  # noqa
+        print(f"stark pow2 bench failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+        sk_rate = None
 
     print(json.dumps({
         "metric": f"goldilocks_deg2^{N.bit_length() - 1}"
@@ -281,6 +308,7 @@ def main():
         "pointwise_path": pw_path,
         "model_crt_mults_per_sec": models,
         "babybear_deg2^12_ring_mults_per_sec": bb_rate,
+        "stark_prime_deg2^12_ring_mults_per_sec": sk_rate,
         "batch": pb,
         "device": str(__import__("jax").devices()[0]),
     }))

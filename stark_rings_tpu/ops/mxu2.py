@@ -306,12 +306,33 @@ class Mxu2NTT:
         bigger modules win at runtime.
 
         granularity:
-          "stage"     — ~12 small modules per mul (fast compile)
+          "stage"     — ~13 small modules per mul (fast compile)
+          "mixed"     — 5 modules per mul: the forward transform as one
+                        module (used twice), pointwise, and the inverse
+                        split in two (the fully-fused tail of
+                        "transform" hangs the remote compiler)
           "transform" — 3 modules per mul: forward (used twice) and the
                         pointwise+inverse tail (slower compile, ~4x
                         fewer dispatches)
         """
         c = jax.device_put(self.consts())  # upload tables once, not per call
+        if granularity == "mixed":
+            fwd_m = jax.jit(lambda cc, x: self._fwd_graph(cc, x))
+            pw = jax.jit(self.pointwise)
+            inv1 = jax.jit(lambda cc, y: jnp.transpose(
+                self._lvl_tw(self.mat2i, y, cc["twi"], cc["w2i"]),
+                (2, 1, 0)))
+            inv2 = jax.jit(lambda cc, a: self._from_internal(
+                self._lvl_end(self.mat1i, a, cc["w1i"])))
+
+            def fwd(x):
+                return fwd_m(c, x)
+
+            def mul(a, b):
+                return inv2(c, inv1(c, pw(fwd(a), fwd(b))))
+
+            mul.forward = fwd  # type: ignore[attr-defined]
+            return mul
         if granularity == "transform":
             fwd_m = jax.jit(lambda cc, x: self._fwd_graph(cc, x))
             tail_m = jax.jit(lambda cc, fa, fb: self._tail_graph(cc, fa, fb))

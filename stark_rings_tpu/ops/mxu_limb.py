@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..fields import Field
 from .mxu2 import _digitize_signed_host
 
-__all__ = ["LimbPrescaledMat"]
+__all__ = ["LimbPrescaledMat", "MxuLimbNTT"]
 
 _M32 = np.uint64(0xFFFFFFFF)
 
@@ -160,3 +160,103 @@ class LimbPrescaledMat:
                         preferred_element_type=jnp.int32)
         y = self.fold(V)                                # [R, B, L]
         return jnp.transpose(y, (1, 0, 2)).reshape(lead + (self.R, self.L))
+
+
+class MxuLimbNTT:
+    """Four-step negacyclic ring multiply for LIMBED power-of-two rings
+    (the 252-bit stark prime, 2-adicity 192: any N = N1*N2 works).
+
+    Same twist/scale absorption as ops/mxu2.py's Mxu2NTT — the level
+    matrices are LimbPrescaledMat int8 digit matmuls, the rank-1 mid
+    twiddle and the pointwise product are 8-limb CIOS multiplies at XLA
+    level (vectorized over all slots; the CIOS loop is ~500 tensor ops
+    regardless of batch).  Coefficients in, coefficients out, storage
+    (Montgomery) form end to end; bit-exact vs ops/ntt.NTTContext.
+
+    Generalizes the reference's stark_prime negacyclic NTT
+    (/root/reference/crates/ring/src/cyclotomic_ring/models/stark_prime/ntt.rs:121-234,
+    D=16) to large degrees on the MXU.
+    """
+
+    def __init__(self, field: Field, N: int, n1: int | None = None):
+        from .ntt import find_primitive_root
+
+        assert field.limbed
+        self.f = field
+        self.N = N
+        q = field.q
+        if n1 is None:
+            n1 = 1 << ((N.bit_length() - 1) // 2)
+        self.N1, self.N2 = n1, N // n1
+        N1, N2 = self.N1, self.N2
+        assert (q - 1) % (2 * N) == 0, "2N must divide q-1"
+        g = find_primitive_root(q)
+        psi = pow(g, (q - 1) // (2 * N), q)
+        om = pow(psi, 2, q)
+        om1, om2 = pow(om, N2, q), pow(om, N1, q)
+        psi_i, om_i = pow(psi, q - 2, q), pow(om, q - 2, q)
+        om1_i, om2_i = pow(om1, q - 2, q), pow(om2, q - 2, q)
+        n_inv = pow(N, q - 2, q)
+
+        W1 = [[pow(om1, k1 * j, q) * pow(psi, j * N2, q) % q
+               for j in range(N1)] for k1 in range(N1)]
+        W2 = [[pow(om2, k2 * j, q) for j in range(N2)]
+              for k2 in range(N2)]
+        W2i = [[pow(om2_i, j * k2, q) for k2 in range(N2)]
+               for j in range(N2)]
+        W1i = [[pow(om1_i, j * k1, q) * pow(psi_i, j * N2, q)
+                * n_inv % q for k1 in range(N1)] for j in range(N1)]
+        self.mat1 = LimbPrescaledMat(field, W1)
+        self.mat2 = LimbPrescaledMat(field, W2)
+        self.mat2i = LimbPrescaledMat(field, W2i)
+        self.mat1i = LimbPrescaledMat(field, W1i)
+
+        tw = np.empty((N2, N1), dtype=object)   # [n2, k1] broadcast layout
+        twi = np.empty((N1, N2), dtype=object)  # [k1, n2]
+        for k1 in range(N1):
+            for j in range(N2):
+                tw[j, k1] = pow(psi, j, q) * pow(om, k1 * j, q) % q
+                twi[k1, j] = pow(psi_i, j, q) * pow(om_i, k1 * j, q) % q
+        self.tw = field.encode(tw)      # numpy storage [n2, k1, L]
+        self.twi = field.encode(twi)    # numpy storage [k1, n2, L]
+
+    # -- layout: internal [B, n2, n1, L] / NTT domain [B, k1, k2, L] ----
+    def _to_internal(self, x):
+        B = x.shape[0]
+        v = x.reshape(B, self.N1, self.N2, self.f.N_LIMBS)
+        return jnp.swapaxes(v, 1, 2)
+
+    def _from_internal(self, v):
+        B = v.shape[0]
+        return jnp.swapaxes(v, 1, 2).reshape(B, self.N, self.f.N_LIMBS)
+
+    def forward_internal(self, v):
+        """[B, n2, n1, L] coeffs -> [B, k1, k2, L] evaluations."""
+        a = self.mat1(v)                       # contract n1 -> [B, n2, k1, L]
+        a = self.f.mul(a, self.tw)             # mid twiddle (broadcast)
+        a = jnp.swapaxes(a, 1, 2)              # [B, k1, n2, L]
+        return self.mat2(a)                    # contract n2 -> [B, k1, k2, L]
+
+    def inverse_internal(self, y):
+        a = self.mat2i(y)                      # [B, k1, n2, L]
+        a = self.f.mul(a, self.twi)
+        a = jnp.swapaxes(a, 1, 2)              # [B, n2, k1, L]
+        return self.mat1i(a)                   # [B, n2, n1, L]
+
+    def forward(self, x):
+        return self.forward_internal(self._to_internal(x))
+
+    def inverse(self, y):
+        return self._from_internal(self.inverse_internal(y))
+
+    def mul(self, a, b):
+        """[B, N, L] x [B, N, L] -> [B, N, L] negacyclic product."""
+        fa = self.forward(a)
+        fb = self.forward(b)
+        return self.inverse(self.f.mul(fa, fb))
+
+    def jit_mul(self):
+        import jax as _jax
+
+        fn = _jax.jit(self.mul)
+        return fn

@@ -100,8 +100,15 @@ class PowerRing:
 
                 cache["bb"] = MxuBBNTT(self.D)
             return cache["bb"]
+        if self.field.limbed:
+            # 252-bit prime: LimbPrescaledMat levels + word-REDC folds
+            if "limb" not in cache:
+                from ..ops.mxu_limb import MxuLimbNTT
+
+                cache["limb"] = MxuLimbNTT(self.field, self.D)
+            return cache["limb"]
         assert self.field.name == "goldilocks", \
-            "MXU v2 weights exist for goldilocks/babybear only"
+            "MXU weights exist for goldilocks/babybear/stark_prime"
         if pallas not in cache:
             if pallas:
                 from ..ops.pallas_fold import Mxu2PallasNTT

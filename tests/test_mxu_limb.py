@@ -88,3 +88,46 @@ def test_leading_batch_dims(crt_mats):
     pr = random.Random(4)
     x, _ = _rand_storage(pr, (2, 3, SPEC.D))
     assert np.array_equal(np.asarray(lm(x)), np.asarray(dm(x)))
+
+
+# -- MxuLimbNTT: the 252-bit four-step power-ring multiplier ----------------
+
+def test_mxu_limb_ntt_matches_radix4():
+    from stark_rings_tpu.ops.mxu_limb import MxuLimbNTT
+    from stark_rings_tpu.ops.ntt import NTTContext
+
+    N = 256
+    tx = MxuLimbNTT(F, N)
+    ctx = NTTContext(F, N, negacyclic=True)
+    pr = random.Random(21)
+    ints = np.empty((2, 2, N), dtype=object)
+    for s in range(2):
+        for t in range(2):
+            for i in range(N):
+                ints[s, t, i] = pr.randrange(F.q)
+    a = jnp.asarray(F.encode(ints[0]))
+    b = jnp.asarray(F.encode(ints[1]))
+    assert np.array_equal(np.asarray(tx.jit_mul()(a, b)),
+                          np.asarray(ctx.mul(a, b)))
+    back = tx.inverse(tx.forward(a))
+    assert np.array_equal(np.asarray(back), np.asarray(a))
+
+
+def test_mxu_limb_ntt_odd_log2_and_power_ring():
+    from stark_rings_tpu.rings import get_power_ring
+    from stark_rings_tpu.ops.ntt import NTTContext
+
+    ring = get_power_ring("stark_prime", 9)   # 512 = 32 x 16 split
+    tx = ring.mxu_ctx()
+    assert type(tx).__name__ == "MxuLimbNTT"
+    ctx = NTTContext(F, ring.D, negacyclic=True)
+    pr = random.Random(22)
+    ints = np.empty((2, 2, ring.D), dtype=object)
+    for s in range(2):
+        for t in range(2):
+            for i in range(ring.D):
+                ints[s, t, i] = pr.randrange(F.q)
+    a = jnp.asarray(F.encode(ints[0]))
+    b = jnp.asarray(F.encode(ints[1]))
+    assert np.array_equal(np.asarray(tx.mul(a, b)),
+                          np.asarray(ctx.mul(a, b)))
