@@ -147,10 +147,15 @@ def primary(N, B):
     # NTT-form pointwise rate (folding-prover hot loop): dependent chain
     # of CH multiplies inside ONE module (tunnel-dispatch amortized),
     # checksum-fenced; best of the in-kernel Pallas chain and XLA
-    CH = 64
+    # The XLA chain runs at the measured VPU u64-emulation envelope
+    # (~2.2e10 modmuls/s => ~335k deg-2^16 mults/s); the Pallas
+    # in-kernel chain (ops/pallas_fold.pointwise_chain) loses to it and
+    # its compile hangs at depth>16 on the remote stack, so the bench
+    # no longer risks timing out on it (PERF_NOTES round 2).
+    CH = 64       # 64 muls per module keeps the chain compute-bound
     a, b = operands(B)
 
-    def _time_chain(pwj):
+    def _time_chain(pwj, ch):
         import jax.numpy as jnp
 
         cs = jax.jit(lambda x: jnp.bitwise_xor.reduce(
@@ -161,25 +166,15 @@ def primary(N, B):
         for _ in range(4):
             out = pwj(out, b)
         _ = int(jax.device_get(cs(out)))
-        return 4 * B * CH / (time.perf_counter() - t0)
+        return 4 * B * ch / (time.perf_counter() - t0)
 
     def xla_chain(x, y):
         for _ in range(CH):
             x = f.mul(x, y)
         return x
 
-    pw_rate = _time_chain(jax.jit(xla_chain))
+    pw_rate = _time_chain(jax.jit(xla_chain), CH)
     pw_path = "xla"
-    try:
-        from stark_rings_tpu.ops.pallas_fold import pointwise_chain
-
-        pr = _time_chain(jax.jit(
-            lambda x, y: pointwise_chain(x, y, depth=CH)))
-        if pr > pw_rate:
-            pw_rate, pw_path = pr, "pallas_inkernel"
-    except Exception as exc:  # noqa
-        print(f"pallas pointwise chain failed ({type(exc).__name__})",
-              file=sys.stderr)
     all_rates = {k: [batches[k], round(v, 1)] for k, v in rates.items()}
     return path, rates[path], batches[path], pw_rate, pw_path, all_rates
 

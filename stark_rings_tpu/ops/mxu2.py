@@ -311,11 +311,29 @@ class Mxu2NTT:
                         module (used twice), pointwise, and the inverse
                         split in two (the fully-fused tail of
                         "transform" hangs the remote compiler)
+          "mixed4"    — 4 modules per mul: like "mixed" with pointwise
+                        fused into the first inverse module
           "transform" — 3 modules per mul: forward (used twice) and the
                         pointwise+inverse tail (slower compile, ~4x
                         fewer dispatches)
         """
         c = jax.device_put(self.consts())  # upload tables once, not per call
+        if granularity == "mixed4":
+            fwd_m = jax.jit(lambda cc, x: self._fwd_graph(cc, x))
+            inv1 = jax.jit(lambda cc, fa, fb: jnp.transpose(
+                self._lvl_tw(self.mat2i, self.pointwise(fa, fb),
+                             cc["twi"], cc["w2i"]), (2, 1, 0)))
+            inv2 = jax.jit(lambda cc, a: self._from_internal(
+                self._lvl_end(self.mat1i, a, cc["w1i"])))
+
+            def fwd(x):
+                return fwd_m(c, x)
+
+            def mul(a, b):
+                return inv2(c, inv1(c, fwd(a), fwd(b)))
+
+            mul.forward = fwd  # type: ignore[attr-defined]
+            return mul
         if granularity == "mixed":
             fwd_m = jax.jit(lambda cc, x: self._fwd_graph(cc, x))
             pw = jax.jit(self.pointwise)

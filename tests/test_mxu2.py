@@ -127,3 +127,17 @@ def test_power_ring_mxu_ctx():
     m = pr.mxu_ctx(pallas=False)
     assert np.array_equal(np.asarray(m.staged_mul()(a, b)),
                           np.asarray(pr.coeff_mul(a, b)))
+
+
+def test_staged_granularities_match():
+    """Every staged_mul granularity is the same function (CPU, deg 2^12)."""
+    import jax.numpy as jnp
+
+    tx = Mxu2NTT(1 << 12)
+    rng = np.random.default_rng(13)
+    a = jnp.asarray(rng.integers(0, F.q, (3, 1 << 12), dtype=np.uint64))
+    b = jnp.asarray(rng.integers(0, F.q, (3, 1 << 12), dtype=np.uint64))
+    want = np.asarray(tx.jit_mul()(a, b))
+    for gran in ("stage", "mixed", "mixed4"):
+        got = np.asarray(tx.staged_mul(granularity=gran)(a, b))
+        assert np.array_equal(got, want), gran
