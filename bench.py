@@ -123,7 +123,7 @@ def primary(N, B):
 
         PB = 64  # with "mixed" granularity dispatch count stays at 5/mul
         tp = Mxu2PallasNTT(N, pointwise_pallas=True)
-        mul = tp.staged_mul(granularity="mixed")
+        mul = tp.staged_mul(granularity="mixed4")
         a, b = operands(PB)
         dtc = chained_time(mul, a, b)
         rates["mxu2_pallas_staged"] = PB / dtc

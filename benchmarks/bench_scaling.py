@@ -15,7 +15,38 @@ import time
 import numpy as np
 
 
+def _ensure_mesh_platform(max_devices: int):
+    """Default to the virtual CPU mesh: JAX_PLATFORMS=cpu in the env is
+    IGNORED here (sitecustomize imports jax onto the axon platform at
+    interpreter start), so re-exec a child that flips the platform
+    before backend init (jax.config.update works until the first
+    jax.devices() call) — same pattern as __graft_entry__.  Set
+    SRT_SCALING_REAL=1 to measure the attached real devices instead."""
+    import os
+    import pathlib
+    import subprocess
+
+    if os.environ.get("SRT_SCALING_REAL") == "1" \
+            or os.environ.get("_SRT_SCALING_REEXEC") == "1":
+        if os.environ.get("_SRT_SCALING_REEXEC") == "1":
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        return
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env = dict(os.environ)
+    env["_SRT_SCALING_REEXEC"] = "1"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count="
+            + str(max_devices)).strip()
+    raise SystemExit(subprocess.run(
+        [sys.executable, __file__], env=env, cwd=repo).returncode)
+
+
 def main(N=1 << 20, counts=(1, 2, 4, 8), batch=1):
+    _ensure_mesh_platform(max(counts))
     import jax
 
     sys.path.insert(0, ".")
