@@ -245,6 +245,14 @@ class Mxu2NTT:
         V = mat.dot(x.reshape(C, B * t), big)
         return self._fold_tw(mat, V, tw, B, t)
 
+    def _lvl_tw_t(self, mat, x, tw, big=None):
+        """_lvl_tw followed by the mid transpose [R, B, t] -> [t, B, R].
+
+        Subclasses fuse the transpose into the fold epilogue (writing
+        transposed tiles from VMEM) so the separate XLA u64 transpose
+        pass disappears."""
+        return jnp.transpose(self._lvl_tw(mat, x, tw, big), (2, 1, 0))
+
     # -- traced-constants plumbing ----------------------------------------
     def consts(self):
         """All MB-scale tables as a pytree, to pass as jit ARGUMENTS."""
@@ -258,16 +266,14 @@ class Mxu2NTT:
     # -- transforms --------------------------------------------------------
     def forward_internal(self, x, c=None):
         """[n1, B, n2] coeffs -> [k2, B, k1] evaluations."""
-        a = self._lvl_tw(self.mat1, x, self._c(c, "tw", self.tw),
-                         self._c(c, "w1", None))      # [k1, B, n2]
-        a = jnp.transpose(a, (2, 1, 0))               # [n2, B, k1]
+        a = self._lvl_tw_t(self.mat1, x, self._c(c, "tw", self.tw),
+                           self._c(c, "w1", None))    # [n2, B, k1]
         return self._lvl_end(self.mat2, a, self._c(c, "w2", None))
 
     def inverse_internal(self, y, c=None):
         """[k2, B, k1] -> [n1, B, n2] coefficients."""
-        a = self._lvl_tw(self.mat2i, y, self._c(c, "twi", self.twi),
-                         self._c(c, "w2i", None))     # [n2, B, k1]
-        a = jnp.transpose(a, (2, 1, 0))               # [k1, B, n2]
+        a = self._lvl_tw_t(self.mat2i, y, self._c(c, "twi", self.twi),
+                           self._c(c, "w2i", None))   # [k1, B, n2]
         return self._lvl_end(self.mat1i, a, self._c(c, "w1i", None))
 
     def forward(self, x, c=None):
@@ -320,9 +326,8 @@ class Mxu2NTT:
         c = jax.device_put(self.consts())  # upload tables once, not per call
         if granularity == "mixed4":
             fwd_m = jax.jit(lambda cc, x: self._fwd_graph(cc, x))
-            inv1 = jax.jit(lambda cc, fa, fb: jnp.transpose(
-                self._lvl_tw(self.mat2i, self.pointwise(fa, fb),
-                             cc["twi"], cc["w2i"]), (2, 1, 0)))
+            inv1 = jax.jit(lambda cc, fa, fb: self._lvl_tw_t(
+                self.mat2i, self.pointwise(fa, fb), cc["twi"], cc["w2i"]))
             inv2 = jax.jit(lambda cc, a: self._from_internal(
                 self._lvl_end(self.mat1i, a, cc["w1i"])))
 
@@ -337,9 +342,8 @@ class Mxu2NTT:
         if granularity == "mixed":
             fwd_m = jax.jit(lambda cc, x: self._fwd_graph(cc, x))
             pw = jax.jit(self.pointwise)
-            inv1 = jax.jit(lambda cc, y: jnp.transpose(
-                self._lvl_tw(self.mat2i, y, cc["twi"], cc["w2i"]),
-                (2, 1, 0)))
+            inv1 = jax.jit(lambda cc, y: self._lvl_tw_t(
+                self.mat2i, y, cc["twi"], cc["w2i"]))
             inv2 = jax.jit(lambda cc, a: self._from_internal(
                 self._lvl_end(self.mat1i, a, cc["w1i"])))
 

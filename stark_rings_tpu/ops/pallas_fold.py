@@ -23,7 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_goldilocks import _mul_q, _reduce128, _sub_q
 from .mxu2 import B_BITS, K_BUCKETS
 
-__all__ = ["fold_end", "fold_tw", "pointwise_mul", "pointwise_chain"]
+__all__ = ["fold_end", "fold_tw", "fold_end_dma", "fold_tw_dma",
+           "pointwise_mul", "pointwise_dma", "pointwise_chain"]
 
 _BIAS = np.uint32(1 << 26)
 _BIAS_VAL = sum((1 << 26) << (B_BITS * k) for k in range(K_BUCKETS))
@@ -153,6 +154,188 @@ def fold_tw(V, tw_lo, tw_hi, R, bc=2, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# DMA-looped folds: ONE pallas_call per fold, the chunk loop runs INSIDE
+# the kernel (double-buffered HBM<->VMEM copies).  The chunked XLA-level
+# variants above emit cols/chunk separate custom-calls per fold, which
+# (a) blows up module size — the fully-fused multiply never compiled on
+# the remote service — and (b) scales dispatch count with batch.  With
+# the loop in-kernel the whole multiply fits in ONE module.
+# ---------------------------------------------------------------------------
+
+
+def _make_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
+                          transpose_out=False, unroll=False):
+    """Fold kernel with an internal fori_loop over column chunks.
+
+    With t/bc set, fuses the mid-twiddle modmul (twiddle planes stay
+    resident in VMEM; chunk == bc*t columns per iteration).  With
+    transpose_out, each folded [R, t] tile is written transposed, so the
+    output is [t, B*R] — the mid-level transpose of the four-step NTT
+    fused into the epilogue (no separate XLA u64 transpose pass)."""
+    KR = K_BUCKETS * R
+    twiddled = t is not None
+    ochunk = bc * R if transpose_out else chunk
+
+    def kern(*refs):
+        if twiddled:
+            v_hbm, twlo, twhi, olo_hbm, ohi_hbm = refs[:5]
+            vin, vlo, vhi, in_sem, out_sem = refs[5:]
+        else:
+            v_hbm, olo_hbm, ohi_hbm = refs[:3]
+            vin, vlo, vhi, in_sem, out_sem = refs[3:]
+
+        def in_copy(i, slot):
+            i, slot = _i32(i), _i32(slot)
+            return pltpu.make_async_copy(
+                v_hbm.at[:, pl.ds(i * chunk, chunk)],
+                vin.at[slot], in_sem.at[slot])
+
+        def out_copies(i, slot):
+            i, slot = _i32(i), _i32(slot)
+            return (
+                pltpu.make_async_copy(
+                    vlo.at[slot], olo_hbm.at[:, pl.ds(i * ochunk, ochunk)],
+                    out_sem.at[slot, _i32(0)]),
+                pltpu.make_async_copy(
+                    vhi.at[slot], ohi_hbm.at[:, pl.ds(i * ochunk, ochunk)],
+                    out_sem.at[slot, _i32(1)]))
+
+        in_copy(0, 0).start()
+
+        def body(i, carry):
+            # int32 indices: Mosaic's memref_slice rejects i64 (x64 mode)
+            if isinstance(i, int):          # unrolled: static control flow
+                slot, nxt = i % 2, (i + 1) % 2
+            else:
+                slot = jax.lax.rem(i, jnp.int32(2))
+                nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+            @_when(i + 1 < n_chunks)
+            def _():
+                in_copy(i + 1, nxt).start()
+
+            in_copy(i, slot).wait()
+
+            @_when(i >= 2)
+            def _():
+                for cp in out_copies(i - 2, slot):
+                    cp.wait()
+
+            v = vin[slot]
+            if twiddled:
+                lo_t = twlo[:]
+                hi_t = twhi[:]
+                for b in range(bc):
+                    lo, hi = _fold_rows(v[:, b * t:(b + 1) * t], R)
+                    plo, phi = _mul_q(lo, hi, lo_t, hi_t)
+                    if transpose_out:
+                        vlo[slot, :, b * R:(b + 1) * R] = plo.T
+                        vhi[slot, :, b * R:(b + 1) * R] = phi.T
+                    else:
+                        vlo[slot, :, b * t:(b + 1) * t] = plo
+                        vhi[slot, :, b * t:(b + 1) * t] = phi
+            else:
+                lo, hi = _fold_rows(v, R)
+                vlo[slot] = lo
+                vhi[slot] = hi
+            for cp in out_copies(i, slot):
+                cp.start()
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks), body,
+                          jnp.int32(0))
+        for tail in range(max(0, n_chunks - 2), n_chunks):
+            for cp in out_copies(tail, tail % 2):
+                cp.wait()
+
+    return kern
+
+
+_ANY = pl.BlockSpec(memory_space=pltpu.ANY)
+
+
+def _i32(x):
+    """Static python-int kernel indices lower as i64 constants under
+    x64 mode, which Mosaic's memref_slice verifier rejects."""
+    return jnp.int32(x) if isinstance(x, int) else x
+
+
+def _when(pred):
+    """pl.when that also accepts a static python bool (unrolled loops)."""
+    if isinstance(pred, (bool, np.bool_)):
+        def deco(fn):
+            if pred:
+                fn()
+            return fn
+        return deco
+    return pl.when(pred)
+
+
+def _fold_dma(V, R, chunk, tw_planes=None, bc=2, transpose_out=False,
+              unroll=False, interpret=False):
+    cols = V.shape[1]
+    if tw_planes is not None:
+        t = tw_planes[0].shape[1]
+        chunk = min(chunk, cols)
+        bc = max(1, min(bc, chunk // t))
+        chunk = bc * t
+        while cols % chunk:
+            bc -= 1
+            chunk = bc * t
+    else:
+        t = None
+        bc = None
+        chunk = min(chunk, cols)
+        while cols % chunk:
+            chunk //= 2
+    n_chunks = cols // chunk
+    KR = K_BUCKETS * R
+    kern = _make_fold_dma_kernel(R, n_chunks, chunk, t, bc, transpose_out,
+                                 unroll)
+    in_specs = [_ANY] + ([_WHOLE, _WHOLE] if tw_planes is not None else [])
+    if transpose_out:
+        out_rows, out_cols = t, (cols // t) * R
+        vshape = (2, t, bc * R)
+    else:
+        out_rows, out_cols = R, cols
+        vshape = (2, R, chunk)
+    pcall = pl.pallas_call(
+        kern,
+        in_specs=in_specs,
+        out_specs=(_ANY, _ANY),
+        out_shape=(jax.ShapeDtypeStruct((out_rows, out_cols), jnp.uint32),
+                   jax.ShapeDtypeStruct((out_rows, out_cols), jnp.uint32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, KR, chunk), jnp.int32),
+            pltpu.VMEM(vshape, jnp.uint32),
+            pltpu.VMEM(vshape, jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )
+    args = (V,) if tw_planes is None else (V, tw_planes[0], tw_planes[1])
+    lo, hi = pcall(*args)
+    return _pack_u64(lo, hi)
+
+
+def fold_end_dma(V, R, chunk=512, unroll=False, interpret=False):
+    """fold_end with the chunk loop inside ONE kernel (see module note)."""
+    return _fold_dma(V, R, chunk, unroll=unroll, interpret=interpret)
+
+
+def fold_tw_dma(V, tw_lo, tw_hi, R, chunk=512, transpose_out=False,
+                unroll=False, interpret=False):
+    """fold_tw with the chunk loop inside ONE kernel.
+
+    transpose_out=True returns [t, (cols//t)*R] — each folded+twiddled
+    [R, t] tile written transposed (the four-step mid transpose fused)."""
+    return _fold_dma(V, R, chunk, tw_planes=(tw_lo, tw_hi),
+                     transpose_out=transpose_out, unroll=unroll,
+                     interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
 # standalone pointwise modular multiply (NTT-form hot loop)
 # ---------------------------------------------------------------------------
 
@@ -213,6 +396,100 @@ def pointwise_chain(a, b, depth=16, chunk_rows=128, width=2048,
     return _pack_u64(lo, hi).reshape(shape)
 
 
+def _make_pointwise_dma_kernel(n_chunks, chunk, width):
+    def kern(alo, ahi, blo, bhi, olo_h, ohi_h, vin, vlo, vhi,
+             in_sem, out_sem):
+        srcs = (alo, ahi, blo, bhi)
+
+        def in_copies(i, slot):
+            i, slot = _i32(i), _i32(slot)
+            return [pltpu.make_async_copy(
+                srcs[j].at[pl.ds(i * chunk, chunk)],
+                vin.at[slot, _i32(j)], in_sem.at[slot, _i32(j)])
+                for j in range(4)]
+
+        def out_copies(i, slot):
+            i, slot = _i32(i), _i32(slot)
+            return (
+                pltpu.make_async_copy(
+                    vlo.at[slot], olo_h.at[pl.ds(i * chunk, chunk)],
+                    out_sem.at[slot, _i32(0)]),
+                pltpu.make_async_copy(
+                    vhi.at[slot], ohi_h.at[pl.ds(i * chunk, chunk)],
+                    out_sem.at[slot, _i32(1)]))
+
+        for cp in in_copies(0, 0):
+            cp.start()
+
+        def body(i, carry):
+            # int32 indices: Mosaic's memref_slice rejects i64 (x64 mode)
+            slot = jax.lax.rem(i, jnp.int32(2))
+            nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                for cp in in_copies(i + 1, nxt):
+                    cp.start()
+
+            for cp in in_copies(i, slot):
+                cp.wait()
+
+            @pl.when(i >= 2)
+            def _():
+                for cp in out_copies(i - jnp.int32(2), slot):
+                    cp.wait()
+
+            lo, hi = _mul_q(vin[slot, _i32(0)], vin[slot, _i32(1)],
+                            vin[slot, _i32(2)], vin[slot, _i32(3)])
+            vlo[slot] = lo
+            vhi[slot] = hi
+            for cp in out_copies(i, slot):
+                cp.start()
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks), body,
+                          jnp.int32(0))
+        for tail in range(max(0, n_chunks - 2), n_chunks):
+            for cp in out_copies(tail, tail % 2):
+                cp.wait()
+
+    return kern
+
+
+def pointwise_dma(a, b, chunk_rows=64, width=2048, interpret=False):
+    """pointwise_mul with the row-chunk loop inside ONE kernel."""
+    shape = a.shape
+    total = int(np.prod(shape))
+    if total % width:
+        width = shape[-1]
+    a2 = a.reshape(-1, width)
+    b2 = b.reshape(-1, width)
+    av = jax.lax.bitcast_convert_type(a2, jnp.uint32)
+    bv = jax.lax.bitcast_convert_type(b2, jnp.uint32)
+    rows = a2.shape[0]
+    chunk = min(chunk_rows, rows)
+    while rows % chunk:
+        chunk -= 1
+    n_chunks = rows // chunk
+    pcall = pl.pallas_call(
+        _make_pointwise_dma_kernel(n_chunks, chunk, width),
+        in_specs=[_ANY] * 4,
+        out_specs=(_ANY, _ANY),
+        out_shape=(jax.ShapeDtypeStruct((rows, width), jnp.uint32),
+                   jax.ShapeDtypeStruct((rows, width), jnp.uint32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, chunk, width), jnp.uint32),
+            pltpu.VMEM((2, chunk, width), jnp.uint32),
+            pltpu.VMEM((2, chunk, width), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )
+    lo, hi = pcall(av[..., 0], av[..., 1], bv[..., 0], bv[..., 1])
+    return _pack_u64(lo, hi).reshape(shape)
+
+
 def pointwise_mul(a, b, chunk_rows=128, width=2048, interpret=False):
     """Canonical u64 [...] x [...] -> a*b mod q via a VMEM kernel.
 
@@ -265,10 +542,14 @@ class Mxu2PallasNTT(Mxu2NTT):
     single product; the Pallas kernel wins for in-VMEM chains."""
 
     def __init__(self, N: int = 1 << 16, n1=None, interpret: bool = False,
-                 pointwise_pallas: bool = False):
+                 pointwise_pallas: bool = False, dma_folds: bool = False,
+                 fold_chunk: int = 512, fuse_transpose: bool = True):
         super().__init__(N, n1)
         self.interpret = interpret
         self.pointwise_pallas = pointwise_pallas
+        self.dma_folds = dma_folds
+        self.fold_chunk = fold_chunk
+        self.fuse_transpose = fuse_transpose
         self._tw32 = {}
         for name, tab in (("tw", self.tw), ("twi", self.twi)):
             v = jax.lax.bitcast_convert_type(tab, jnp.uint32)
@@ -283,15 +564,36 @@ class Mxu2PallasNTT(Mxu2NTT):
         return v[..., 0], v[..., 1]
 
     def _fold_end(self, mat, V, B, t):
-        y = fold_end(V, mat.R, interpret=self.interpret)
+        if self.dma_folds:
+            y = fold_end_dma(V, mat.R, chunk=self.fold_chunk,
+                             interpret=self.interpret)
+        else:
+            y = fold_end(V, mat.R, interpret=self.interpret)
         return y.reshape(mat.R, B, t)
 
     def _fold_tw(self, mat, V, tw, B, t):
         lo, hi = self._tw_planes(tw)
-        y = fold_tw(V, lo, hi, mat.R, interpret=self.interpret)
+        if self.dma_folds:
+            y = fold_tw_dma(V, lo, hi, mat.R, chunk=self.fold_chunk,
+                            interpret=self.interpret)
+        else:
+            y = fold_tw(V, lo, hi, mat.R, interpret=self.interpret)
         return y.reshape(mat.R, B, t)
+
+    def _lvl_tw_t(self, mat, x, tw, big=None):
+        """Mid level with the transpose fused into the fold kernel."""
+        if not (self.dma_folds and self.fuse_transpose):
+            return super()._lvl_tw_t(mat, x, tw, big)
+        C, B, t = x.shape
+        V = mat.dot(x.reshape(C, B * t), big)
+        lo, hi = self._tw_planes(tw)
+        y = fold_tw_dma(V, lo, hi, mat.R, chunk=self.fold_chunk,
+                        transpose_out=True, interpret=self.interpret)
+        return y.reshape(t, B, mat.R)
 
     def pointwise(self, fa, fb):
         if self.pointwise_pallas:
+            if self.dma_folds:
+                return pointwise_dma(fa, fb, interpret=self.interpret)
             return pointwise_mul(fa, fb, interpret=self.interpret)
         return super().pointwise(fa, fb)

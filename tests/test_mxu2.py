@@ -141,3 +141,24 @@ def test_staged_granularities_match():
     for gran in ("stage", "mixed", "mixed4"):
         got = np.asarray(tx.staged_mul(granularity=gran)(a, b))
         assert np.array_equal(got, want), gran
+
+
+def test_mxu2_dma_folds_interpret_mul_exact(data):
+    """DMA-looped folds (in-kernel chunk loop, pallas_fold.fold_*_dma):
+    the single-module multiply must match the reference context exactly,
+    including non-power-of-two chunk alignment fallbacks."""
+    a, b, want = data
+    for chunk in (128, 96):
+        tp = Mxu2PallasNTT(N, interpret=True, dma_folds=True,
+                           fold_chunk=chunk, pointwise_pallas=True)
+        assert np.array_equal(np.asarray(tp.mul(a, b)), want)
+
+
+def test_pointwise_dma_interpret():
+    from stark_rings_tpu.ops.pallas_fold import pointwise_dma
+
+    rng = np.random.default_rng(11)
+    a = jax.device_put(rng.integers(0, F.q, (16, 2048), dtype=np.uint64))
+    b = jax.device_put(rng.integers(0, F.q, (16, 2048), dtype=np.uint64))
+    got = np.asarray(pointwise_dma(a, b, chunk_rows=4, interpret=True))
+    assert np.array_equal(got, np.asarray(F.mul(a, b)))
