@@ -3,15 +3,18 @@
 throughput on one chip (BASELINE north star / config 1 scaled), plus the
 four reference models' fused-CRT multiply rates.
 
-Primary path: the MXU v2 hybrid — XLA int8 digit matmuls (pre-scaled
-signed weights) + Pallas VMEM fold/twiddle/pointwise kernels
-(ops/mxu2.py + ops/pallas_fold.py), bit-exact vs the native host oracle.
-Fallbacks: the staged XLA-fold variant, then the round-1 jnp radix-4
-path.
+Primary path: the single-module fused multiply — XLA int8 digit matmuls
+(pre-scaled signed weights) + DMA-looped Pallas fold kernels with the
+mid transpose fused (ops/mxu2.py + ops/pallas_fold.py), bit-exact vs
+the native host oracle.  Fallbacks: the XLA-fold variant, then the
+round-1 jnp radix-4 path.
 
-Timing is DEPENDENCY-CHAINED (x = mul(x, b) in sequence): independent
-repeated calls on this stack can overlap or be elided by the runtime
-and report physically impossible rates (see PERF_NOTES.md round 2).
+Timing is IN-MODULE DEPTH-DIFFERENCED (chain_rate): a dependent chain
+of k multiplies with distinct operands inside one jit module, measured
+at two depths; the difference cancels the tunnel's per-dispatch round
+trip (1-60 ms depending on congestion).  Both repeated calls and
+cross-dispatch chains were shown to inflate on this stack
+(PERF_NOTES.md "Methodology").
 
 Prints ONE JSON line.
 """
@@ -57,6 +60,40 @@ def chained_time(mul, a, b, depth=DEPTH, reps=REPS):
     return best
 
 
+def chain_rate(build, B, lo=2, hi=6, reps=3):
+    """In-module depth-differenced rate: mults/s net of dispatch latency.
+
+    ``build(depth)`` returns (fn, args) where fn runs a DEPENDENT chain
+    of ``depth`` multiplies inside ONE jit module (distinct second
+    operands, so nothing can be elided).  The tunnel round trip appears
+    once per dispatch regardless of depth, so
+        per_mul = (t_hi - t_lo) / (hi - lo)
+    cancels it exactly — immune to the 25-60 ms congestion episodes that
+    made cross-dispatch numbers collapse (PERF_NOTES round 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    cs = jax.jit(lambda x: jnp.bitwise_xor.reduce(
+        x.reshape(-1, x.shape[-1])).max())
+    t_at = {}
+    for k in (lo, hi):
+        fn, args = build(k)
+        out = fn(*args)
+        _ = int(jax.device_get(cs(out)))   # warm incl. checksum graph
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            _ = int(jax.device_get(cs(out)))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        t_at[k] = best
+    per_mul = (t_at[hi] - t_at[lo]) / (hi - lo)
+    if per_mul <= 0:       # tunnel jitter swamped the diff; be honest
+        per_mul = t_at[hi] / hi
+    return B / per_mul, t_at
+
+
 def tunnel_roundtrip_ms():
     """Warm tiny-op round trip: contextualizes per-dispatch latency on
     this tunnel (healthy ~1 ms; has been observed at 27 ms under load)."""
@@ -72,11 +109,12 @@ def tunnel_roundtrip_ms():
 
 
 def primary(N, B):
-    """Measures BOTH the MXU v2 staged-Pallas path and the radix-4
-    single-dispatch path — each at its own best batch size — and
-    reports the winner.  The multi-dispatch Pallas path pays ~12 tunnel
-    round trips per multiply, so on a congested tunnel the robust
-    single-dispatch radix-4 path can win the day."""
+    """Measures three single-jit-module paths with in-module chained
+    depth-differenced timing (chain_rate): the fused Pallas path (int8
+    digit dots + DMA-looped VMEM folds), the XLA-fold variant, and the
+    round-1 radix-4 path.  One module per CHAIN means the tunnel's
+    per-dispatch latency cancels out of the measurement and, in
+    production use, out of the workload itself."""
     import jax
 
     from stark_rings_tpu.fields import get_field
@@ -85,95 +123,111 @@ def primary(N, B):
     f = get_field("goldilocks")
     rng = np.random.default_rng(0)
 
-    def operands(nb):
+    def operands(nb, depth=0):
         aa = jax.device_put(
             rng.integers(0, f.q, size=(nb, N), dtype=np.uint64))
-        bb = jax.device_put(
+        if not depth:
+            bb = jax.device_put(
+                rng.integers(0, f.q, size=(nb, N), dtype=np.uint64))
+            return aa, bb
+        bs = [jax.device_put(
             rng.integers(0, f.q, size=(nb, N), dtype=np.uint64))
-        return aa, bb
+            for _ in range(depth)]
+        return aa, bs
 
     rates = {}    # path -> mults/s
     batches = {}  # path -> batch used
-    ctx = get_ntt("goldilocks", N, negacyclic=True)
-    try:
-        a, b = operands(B)
-        dtc = chained_time(jax.jit(ctx.mul), a, b)
-        rates["jnp_radix4"] = B / dtc
-        batches["jnp_radix4"] = B
-    except Exception as exc:  # noqa
-        print(f"radix4 failed ({type(exc).__name__}: {exc})",
-              file=sys.stderr)
-    try:
-        # single-dispatch-per-multiply MXU path (XLA folds): slower than
-        # the Pallas folds on a healthy tunnel but immune to the
-        # 25 ms/dispatch congestion episodes (one module per multiply)
-        from stark_rings_tpu.ops.mxu2 import Mxu2NTT
 
-        XB = 128
-        tx = Mxu2NTT(N)
-        a, b = operands(XB)
-        dtc = chained_time(tx.jit_mul(), a, b, reps=2)
-        rates["mxu2_xla"] = XB / dtc
-        batches["mxu2_xla"] = XB
-    except Exception as exc:  # noqa
-        print(f"mxu2_xla failed ({type(exc).__name__}: {exc})",
-              file=sys.stderr)
     try:
+        # fused single-module path: int8 digit dots + DMA-looped Pallas
+        # folds with the mid transpose fused into the epilogue
         from stark_rings_tpu.ops.pallas_fold import Mxu2PallasNTT
 
-        PB = 64  # with "mixed" granularity dispatch count stays at 5/mul
-        tp = Mxu2PallasNTT(N, pointwise_pallas=True)
-        mul = tp.staged_mul(granularity="mixed4")
-        a, b = operands(PB)
-        dtc = chained_time(mul, a, b)
-        rates["mxu2_pallas_staged"] = PB / dtc
-        batches["mxu2_pallas_staged"] = PB
+        tp = Mxu2PallasNTT(N, dma_folds=True, pointwise_pallas=True)
+        c = jax.device_put(tp.consts())
+
+        def build_pallas(depth):
+            a, bs = operands(B, depth)
+
+            def fn(cc, x, bs):
+                for i in range(depth):
+                    x = tp.mul(x, bs[i], cc)
+                return x
+            return jax.jit(fn), (c, a, bs)
+
+        rates["mxu2_pallas_single"], _ = chain_rate(build_pallas, B)
+        batches["mxu2_pallas_single"] = B
         try:  # spot-check exactness vs the native oracle
             from stark_rings_tpu.native.host import HostGoldilocks
 
+            a, b = operands(2)
             hg = HostGoldilocks(N)
-            want = hg.mul(np.asarray(a[:2]), np.asarray(b[:2]))
-            assert np.array_equal(np.asarray(mul(a, b)[:2]), want), \
+            got = np.asarray(jax.jit(lambda cc, x, y: tp.mul(x, y, cc))(
+                c, a, b))
+            assert np.array_equal(got, hg.mul(np.asarray(a),
+                                              np.asarray(b))), \
                 "mxu2 pallas mismatch vs host oracle"
         except (OSError, ImportError):
             pass
     except Exception as exc:  # noqa
-        print(f"pallas path failed ({type(exc).__name__}: {exc})",
+        print(f"pallas single failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+    try:
+        from stark_rings_tpu.ops.mxu2 import Mxu2NTT
+
+        tx = Mxu2NTT(N)
+        cx = jax.device_put(tx.consts())
+
+        def build_xla(depth):
+            a, bs = operands(B, depth)
+
+            def fn(cc, x, bs):
+                for i in range(depth):
+                    x = tx.mul(x, bs[i], cc)
+                return x
+            return jax.jit(fn), (cx, a, bs)
+
+        rates["mxu2_xla"], _ = chain_rate(build_xla, B, lo=1, hi=3)
+        batches["mxu2_xla"] = B
+    except Exception as exc:  # noqa
+        print(f"mxu2_xla failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+    try:
+        ctx = get_ntt("goldilocks", N, negacyclic=True)
+
+        def build_radix4(depth):
+            a, bs = operands(B, depth)
+
+            def fn(x, bs):
+                for i in range(depth):
+                    x = ctx.mul(x, bs[i])
+                return x
+            return jax.jit(fn), (a, bs)
+
+        rates["jnp_radix4"], _ = chain_rate(build_radix4, B, lo=1, hi=3)
+        batches["jnp_radix4"] = B
+    except Exception as exc:  # noqa
+        print(f"radix4 failed ({type(exc).__name__}: {exc})",
               file=sys.stderr)
     if not rates:
         raise RuntimeError("all primary paths failed")
     path = max(rates, key=rates.get)
 
-    # NTT-form pointwise rate (folding-prover hot loop): dependent chain
-    # of CH multiplies inside ONE module (tunnel-dispatch amortized),
-    # checksum-fenced; best of the in-kernel Pallas chain and XLA
-    # The XLA chain runs at the measured VPU u64-emulation envelope
-    # (~2.2e10 modmuls/s => ~335k deg-2^16 mults/s); the Pallas
-    # in-kernel chain (ops/pallas_fold.pointwise_chain) loses to it and
-    # its compile hangs at depth>16 on the remote stack, so the bench
-    # no longer risks timing out on it (PERF_NOTES round 2).
-    CH = 64       # 64 muls per module keeps the chain compute-bound
-    a, b = operands(B)
+    # NTT-form pointwise rate (folding-prover hot loop): in-module
+    # depth-differenced chain of slotwise modmuls.  The XLA chain runs
+    # at the measured VPU u64-emulation envelope (~2.2e10 modmuls/s);
+    # the Pallas in-kernel chain loses to it and its compile hangs at
+    # depth>16 on the remote stack (PERF_NOTES round 2).
+    def build_pw(depth):
+        a, b = operands(B)
 
-    def _time_chain(pwj, ch):
-        import jax.numpy as jnp
+        def fn(x, y):
+            for _ in range(depth):
+                x = f.mul(x, y)
+            return x
+        return jax.jit(fn), (a, b)
 
-        cs = jax.jit(lambda x: jnp.bitwise_xor.reduce(
-            x.reshape(-1, x.shape[-1])).max())
-        out = pwj(a, b)
-        _ = int(jax.device_get(cs(out)))
-        t0 = time.perf_counter()
-        for _ in range(4):
-            out = pwj(out, b)
-        _ = int(jax.device_get(cs(out)))
-        return 4 * B * ch / (time.perf_counter() - t0)
-
-    def xla_chain(x, y):
-        for _ in range(CH):
-            x = f.mul(x, y)
-        return x
-
-    pw_rate = _time_chain(jax.jit(xla_chain), CH)
+    pw_rate, _ = chain_rate(build_pw, B, lo=16, hi=64, reps=2)
     pw_path = "xla"
     all_rates = {k: [batches[k], round(v, 1)] for k, v in rates.items()}
     return path, rates[path], batches[path], pw_rate, pw_path, all_rates
@@ -181,8 +235,8 @@ def primary(N, B):
 
 def babybear_pow2_rate(N=1 << 12, B=4096):
     """BASELINE config 2: BabyBear deg-2^12 batched negacyclic multiply
-    via the MXU digit path (ops/mxu_bb.py) — all-XLA, one dispatch per
-    multiply.  Operands in Montgomery storage (the ring's native form)."""
+    via the MXU digit path (ops/mxu_bb.py), in-module chained.
+    Operands in Montgomery storage (the ring's native form)."""
     import jax
 
     from stark_rings_tpu.rings import get_power_ring
@@ -191,16 +245,28 @@ def babybear_pow2_rate(N=1 << 12, B=4096):
     tx = ring.mxu_ctx()
     rng = np.random.default_rng(2)
     q = ring.field.q
-    a = jax.device_put(rng.integers(0, q, size=(B, N), dtype=np.uint32))
-    b = jax.device_put(rng.integers(0, q, size=(B, N), dtype=np.uint32))
-    dt = chained_time(tx.jit_mul(), a, b, depth=8, reps=2)
-    return round(B / dt, 1)
+
+    def build(depth):
+        a = jax.device_put(rng.integers(0, q, size=(B, N),
+                                        dtype=np.uint32))
+        bs = [jax.device_put(rng.integers(0, q, size=(B, N),
+                                          dtype=np.uint32))
+              for _ in range(depth)]
+
+        def fn(x, bs):
+            for i in range(depth):
+                x = tx.mul(x, bs[i])
+            return x
+        return jax.jit(fn), (a, bs)
+
+    rate, _ = chain_rate(build, B, lo=1, hi=5, reps=2)
+    return round(rate, 1)
 
 
 def stark_pow2_rate(N=1 << 12, B=256):
     """252-bit stark-prime deg-2^12 negacyclic multiply via the limbed
-    MXU four-step (ops/mxu_limb.py MxuLimbNTT) — beyond-reference
-    capability (its stark_prime model stops at D=16)."""
+    MXU four-step (ops/mxu_limb.py MxuLimbNTT), in-module chained —
+    beyond-reference capability (its stark_prime model stops at D=16)."""
     import jax
     import jax.numpy as jnp
 
@@ -209,18 +275,30 @@ def stark_pow2_rate(N=1 << 12, B=256):
     ring = get_power_ring("stark_prime", N.bit_length() - 1)
     tx = ring.mxu_ctx()
     rng = np.random.default_rng(3)
-    limbs = rng.integers(0, 1 << 32, size=(2, B, N, 8),
-                         dtype=np.uint64).astype(np.uint32)
-    limbs[..., 7] &= (1 << 26) - 1        # < q guaranteed
-    a = jax.device_put(jnp.asarray(limbs[0]))
-    b = jax.device_put(jnp.asarray(limbs[1]))
-    dt = chained_time(tx.jit_mul(), a, b, depth=4, reps=2)
-    return round(B / dt, 1)
+
+    def rand(nb):
+        limbs = rng.integers(0, 1 << 32, size=(nb, N, 8),
+                             dtype=np.uint64).astype(np.uint32)
+        limbs[..., 7] &= (1 << 26) - 1        # < q guaranteed
+        return jax.device_put(jnp.asarray(limbs))
+
+    def build(depth):
+        a = rand(B)
+        bs = [rand(B) for _ in range(depth)]
+
+        def fn(x, bs):
+            for i in range(depth):
+                x = tx.mul(x, bs[i])
+            return x
+        return jax.jit(fn), (a, bs)
+
+    rate, _ = chain_rate(build, B, lo=1, hi=3, reps=2)
+    return round(rate, 1)
 
 
 def model_rates():
-    """Per-reference-model fused-CRT multiply throughput (batched,
-    chained): crt(a), crt(b), slotwise ext mul, icrt."""
+    """Per-reference-model fused-CRT multiply throughput: in-module
+    depth-differenced chains of icrt(ntt_mul(crt(x), crt(y)))."""
     import jax
 
     from stark_rings_tpu.rings import get_ring
@@ -232,27 +310,31 @@ def model_rates():
             ring = get_ring(name)
             f = ring.field
             rng = np.random.default_rng(1)
-            if f.limbed:
-                limbs = rng.integers(0, 1 << 32, size=(B, ring.D, 8),
-                                     dtype=np.uint64)
-                limbs[..., 7] &= (1 << 26) - 1
-                a = f.from_canon(jax.device_put(limbs.astype(np.uint32)))
-                limbs2 = rng.integers(0, 1 << 32, size=(B, ring.D, 8),
-                                      dtype=np.uint64)
-                limbs2[..., 7] &= (1 << 26) - 1
-                b = f.from_canon(jax.device_put(limbs2.astype(np.uint32)))
-            else:
+
+            def rand(nb):
+                if f.limbed:
+                    limbs = rng.integers(0, 1 << 32, size=(nb, ring.D, 8),
+                                         dtype=np.uint64)
+                    limbs[..., 7] &= (1 << 26) - 1
+                    return f.from_canon(
+                        jax.device_put(limbs.astype(np.uint32)))
                 dt_ = np.uint32 if f.dtype == np.uint32 else np.uint64
-                a = f.from_canon(jax.device_put(
-                    rng.integers(0, f.q, size=(B, ring.D), dtype=dt_)))
-                b = f.from_canon(jax.device_put(
-                    rng.integers(0, f.q, size=(B, ring.D), dtype=dt_)))
+                return f.from_canon(jax.device_put(
+                    rng.integers(0, f.q, size=(nb, ring.D), dtype=dt_)))
 
-            def mul(x, y, ring=ring):
-                return ring.icrt(ring.ntt_mul(ring.crt(x), ring.crt(y)))
+            def build(depth):
+                a = rand(B)
+                bs = [rand(B) for _ in range(depth)]
 
-            dt = chained_time(jax.jit(mul), a, b, depth=4, reps=2)
-            out[name] = round(B / dt, 1)
+                def fn(x, bs):
+                    for i in range(depth):
+                        x = ring.icrt(ring.ntt_mul(ring.crt(x),
+                                                   ring.crt(bs[i])))
+                    return x
+                return jax.jit(fn), (a, bs)
+
+            rate, _ = chain_rate(build, B, lo=1, hi=5, reps=2)
+            out[name] = round(rate, 1)
         except Exception as exc:  # noqa
             print(f"model {name} failed ({type(exc).__name__}: {exc})",
                   file=sys.stderr)
@@ -296,7 +378,7 @@ def main():
         "vs_baseline": round(ring_mults / 5e8, 9),
         "path": path,
         "path_rates_by_batch": all_rates,
-        "timing": "dependency_chained_checksum_forced",
+        "timing": "in_module_chain_depth_differenced_checksum_forced",
         "tunnel_roundtrip_ms": round(rt_ms, 1),
         "equiv_butterflies_per_sec": round(butterflies, 0),
         "ntt_form_pointwise_ring_mults_per_sec": round(pw_rate, 1),
