@@ -140,10 +140,12 @@ def primary(N, B):
 
     try:
         # fused single-module path: int8 digit dots + DMA-looped Pallas
-        # folds with the mid transpose fused into the epilogue
+        # folds with the mid transpose fused into the epilogue and the
+        # two forward end-folds fused with the slot product
         from stark_rings_tpu.ops.pallas_fold import Mxu2PallasNTT
 
-        tp = Mxu2PallasNTT(N, dma_folds=True, pointwise_pallas=True)
+        tp = Mxu2PallasNTT(N, dma_folds=True, pointwise_pallas=True,
+                           fuse_pointwise=True)
         c = jax.device_put(tp.consts())
 
         def build_pallas(depth):

@@ -88,11 +88,19 @@ class PrescaledMat:
         big = np.zeros((K_BUCKETS * R, P_PLANES * C), dtype=np.int8)
         for l in range(P_PLANES):
             scale = pow(2, D_BITS * l, _Q)
-            for r in range(R):
-                for c in range(C):
-                    dg = _digitize_signed_host(int(m[r, c]) * scale % _Q)
-                    for k in range(K_BUCKETS):
-                        big[k * R + r, l * C + c] = dg[k]
+            # vectorized _digitize_signed_host over the whole matrix
+            # (the scalar loop takes minutes at deg-2^18+ sizes)
+            v = ((m * scale) % _Q).astype(np.uint64)
+            carry = np.zeros((R, C), dtype=np.int16)
+            for k in range(K_BUCKETS - 1):
+                byte = ((v >> np.uint64(8 * k))
+                        & np.uint64(0xFF)).astype(np.int16) + carry
+                carry = (byte >= 128).astype(np.int16)
+                big[k * R:(k + 1) * R, l * C:(l + 1) * C] = (
+                    byte - 256 * carry).astype(np.int8)
+            # v < 2^64 so the top digit is exactly the final carry
+            big[(K_BUCKETS - 1) * R:, l * C:(l + 1) * C] = \
+                carry.astype(np.int8)
         # numpy on purpose: these objects are cached (PowerRing,
         # RingModel) and may be built inside a jit trace; jnp
         # constants created in-trace would leak tracers.

@@ -168,13 +168,18 @@ def _make_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
     """Fold kernel with an internal fori_loop over column chunks.
 
     With t/bc set, fuses the mid-twiddle modmul (twiddle planes stay
-    resident in VMEM; chunk == bc*t columns per iteration).  With
-    transpose_out, each folded [R, t] tile is written transposed, so the
-    output is [t, B*R] — the mid-level transpose of the four-step NTT
-    fused into the epilogue (no separate XLA u64 transpose pass)."""
+    resident in VMEM).  Two twiddled regimes: chunk == bc*t (bc whole
+    batch elements per iteration) or chunk < t with t % chunk == 0
+    (sub-tile iteration — required once t exceeds the VMEM chunk budget,
+    e.g. deg-2^18+ where t = 512).  With transpose_out, each folded
+    [R, t] tile is written transposed, so the output is [t, B*R] — the
+    mid-level transpose of the four-step NTT fused into the epilogue
+    (no separate XLA u64 transpose pass)."""
     KR = K_BUCKETS * R
     twiddled = t is not None
-    ochunk = bc * R if transpose_out else chunk
+    subt = twiddled and chunk < t
+    sub = (t // chunk) if subt else 1
+    ochunk = bc * R if (transpose_out and not subt) else chunk
 
     def kern(*refs):
         if twiddled:
@@ -192,13 +197,23 @@ def _make_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
 
         def out_copies(i, slot):
             i, slot = _i32(i), _i32(slot)
+            if transpose_out and subt:
+                b = i // jnp.int32(sub) if not isinstance(i, int) \
+                    else i // sub
+                toff = (i % jnp.int32(sub) if not isinstance(i, int)
+                        else i % sub) * chunk
+                dst_lo = olo_hbm.at[pl.ds(toff, chunk),
+                                    pl.ds(b * R, R)]
+                dst_hi = ohi_hbm.at[pl.ds(toff, chunk),
+                                    pl.ds(b * R, R)]
+            else:
+                dst_lo = olo_hbm.at[:, pl.ds(i * ochunk, ochunk)]
+                dst_hi = ohi_hbm.at[:, pl.ds(i * ochunk, ochunk)]
             return (
-                pltpu.make_async_copy(
-                    vlo.at[slot], olo_hbm.at[:, pl.ds(i * ochunk, ochunk)],
-                    out_sem.at[slot, _i32(0)]),
-                pltpu.make_async_copy(
-                    vhi.at[slot], ohi_hbm.at[:, pl.ds(i * ochunk, ochunk)],
-                    out_sem.at[slot, _i32(1)]))
+                pltpu.make_async_copy(vlo.at[slot], dst_lo,
+                                      out_sem.at[slot, _i32(0)]),
+                pltpu.make_async_copy(vhi.at[slot], dst_hi,
+                                      out_sem.at[slot, _i32(1)]))
 
         in_copy(0, 0).start()
 
@@ -222,7 +237,20 @@ def _make_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
                     cp.wait()
 
             v = vin[slot]
-            if twiddled:
+            if twiddled and subt:
+                toff = ((i % sub) if isinstance(i, int)
+                        else jax.lax.rem(i, jnp.int32(sub))) * chunk
+                lo_t = twlo[:, pl.ds(_i32(toff), chunk)]
+                hi_t = twhi[:, pl.ds(_i32(toff), chunk)]
+                lo, hi = _fold_rows(v, R)
+                plo, phi = _mul_q(lo, hi, lo_t, hi_t)
+                if transpose_out:
+                    vlo[slot] = plo.T
+                    vhi[slot] = phi.T
+                else:
+                    vlo[slot] = plo
+                    vhi[slot] = phi
+            elif twiddled:
                 lo_t = twlo[:]
                 hi_t = twhi[:]
                 for b in range(bc):
@@ -274,14 +302,21 @@ def _when(pred):
 def _fold_dma(V, R, chunk, tw_planes=None, bc=2, transpose_out=False,
               unroll=False, interpret=False):
     cols = V.shape[1]
+    subt = False
     if tw_planes is not None:
         t = tw_planes[0].shape[1]
         chunk = min(chunk, cols)
-        bc = max(1, min(bc, chunk // t))
-        chunk = bc * t
-        while cols % chunk:
-            bc -= 1
+        if chunk >= t:
+            bc = max(1, min(bc, chunk // t))
             chunk = bc * t
+            while cols % chunk:
+                bc -= 1
+                chunk = bc * t
+        else:
+            subt = True           # iterate sub-tiles of each element
+            bc = 1
+            while t % chunk:
+                chunk //= 2
     else:
         t = None
         bc = None
@@ -295,7 +330,7 @@ def _fold_dma(V, R, chunk, tw_planes=None, bc=2, transpose_out=False,
     in_specs = [_ANY] + ([_WHOLE, _WHOLE] if tw_planes is not None else [])
     if transpose_out:
         out_rows, out_cols = t, (cols // t) * R
-        vshape = (2, t, bc * R)
+        vshape = (2, chunk, R) if subt else (2, t, bc * R)
     else:
         out_rows, out_cols = R, cols
         vshape = (2, R, chunk)
@@ -333,6 +368,101 @@ def fold_tw_dma(V, tw_lo, tw_hi, R, chunk=512, transpose_out=False,
     return _fold_dma(V, R, chunk, tw_planes=(tw_lo, tw_hi),
                      transpose_out=transpose_out, unroll=unroll,
                      interpret=interpret)
+
+
+def _make_fold2_mul_kernel(R, n_chunks, chunk):
+    """Fold TWO bucket-plane inputs and multiply them slotwise, fused.
+
+    Saves the standalone pointwise kernel's HBM round trip: the two
+    forward transforms' canonical u64 values never hit HBM separately —
+    only the slot product does."""
+
+    def kern(va_hbm, vb_hbm, olo_hbm, ohi_hbm, vin, vlo, vhi,
+             in_sem, out_sem):
+        srcs = (va_hbm, vb_hbm)
+
+        def in_copies(i, slot):
+            i, slot = _i32(i), _i32(slot)
+            return [pltpu.make_async_copy(
+                srcs[j].at[:, pl.ds(i * chunk, chunk)],
+                vin.at[slot, _i32(j)], in_sem.at[slot, _i32(j)])
+                for j in range(2)]
+
+        def out_copies(i, slot):
+            i, slot = _i32(i), _i32(slot)
+            return (
+                pltpu.make_async_copy(
+                    vlo.at[slot], olo_hbm.at[:, pl.ds(i * chunk, chunk)],
+                    out_sem.at[slot, _i32(0)]),
+                pltpu.make_async_copy(
+                    vhi.at[slot], ohi_hbm.at[:, pl.ds(i * chunk, chunk)],
+                    out_sem.at[slot, _i32(1)]))
+
+        for cp in in_copies(0, 0):
+            cp.start()
+
+        def body(i, carry):
+            slot = jax.lax.rem(i, jnp.int32(2))
+            nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                for cp in in_copies(i + 1, nxt):
+                    cp.start()
+
+            for cp in in_copies(i, slot):
+                cp.wait()
+
+            @pl.when(i >= 2)
+            def _():
+                for cp in out_copies(i - 2, slot):
+                    cp.wait()
+
+            alo, ahi = _fold_rows(vin[slot, _i32(0)], R)
+            blo, bhi = _fold_rows(vin[slot, _i32(1)], R)
+            lo, hi = _mul_q(alo, ahi, blo, bhi)
+            vlo[slot] = lo
+            vhi[slot] = hi
+            for cp in out_copies(i, slot):
+                cp.start()
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks), body,
+                          jnp.int32(0))
+        for tail in range(max(0, n_chunks - 2), n_chunks):
+            for cp in out_copies(tail, tail % 2):
+                cp.wait()
+
+    return kern
+
+
+def fold_end2_mul_dma(Va, Vb, R, chunk=256, interpret=False):
+    """(fold(Va) * fold(Vb)) mod q, fused: int32 [K*R, cols] x2 -> u64
+    [R, cols].  Replaces fold_end(Va), fold_end(Vb) and the pointwise
+    kernel in the full multiply."""
+    cols = Va.shape[1]
+    chunk = min(chunk, cols)
+    while cols % chunk:
+        chunk //= 2
+    n_chunks = cols // chunk
+    KR = K_BUCKETS * R
+    pcall = pl.pallas_call(
+        _make_fold2_mul_kernel(R, n_chunks, chunk),
+        in_specs=[_ANY, _ANY],
+        out_specs=(_ANY, _ANY),
+        out_shape=(jax.ShapeDtypeStruct((R, cols), jnp.uint32),
+                   jax.ShapeDtypeStruct((R, cols), jnp.uint32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, KR, chunk), jnp.int32),
+            pltpu.VMEM((2, R, chunk), jnp.uint32),
+            pltpu.VMEM((2, R, chunk), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )
+    lo, hi = pcall(Va, Vb)
+    return _pack_u64(lo, hi)
 
 
 # ---------------------------------------------------------------------------
@@ -543,13 +673,15 @@ class Mxu2PallasNTT(Mxu2NTT):
 
     def __init__(self, N: int = 1 << 16, n1=None, interpret: bool = False,
                  pointwise_pallas: bool = False, dma_folds: bool = False,
-                 fold_chunk: int = 512, fuse_transpose: bool = True):
+                 fold_chunk: int = 512, fuse_transpose: bool = True,
+                 fuse_pointwise: bool = False):
         super().__init__(N, n1)
         self.interpret = interpret
         self.pointwise_pallas = pointwise_pallas
         self.dma_folds = dma_folds
         self.fold_chunk = fold_chunk
         self.fuse_transpose = fuse_transpose
+        self.fuse_pointwise = fuse_pointwise
         self._tw32 = {}
         for name, tab in (("tw", self.tw), ("twi", self.twi)):
             v = jax.lax.bitcast_convert_type(tab, jnp.uint32)
@@ -597,3 +729,23 @@ class Mxu2PallasNTT(Mxu2NTT):
                 return pointwise_dma(fa, fb, interpret=self.interpret)
             return pointwise_mul(fa, fb, interpret=self.interpret)
         return super().pointwise(fa, fb)
+
+    def mul(self, a, b, c=None):
+        """Full multiply with the two forward end-folds and the slot
+        product fused into ONE kernel (fold_end2_mul_dma): the forward
+        transforms' canonical u64 never round-trip through HBM."""
+        if not (self.dma_folds and self.fuse_pointwise):
+            return super().mul(a, b, c)
+        tw = self._c(c, "tw", self.tw)
+        w1 = self._c(c, "w1", None)
+        w2 = self._c(c, "w2", None)
+        mids = []
+        for x in (a, b):
+            mid = self._lvl_tw_t(self.mat1, self._to_internal(x), tw, w1)
+            C, B, t = mid.shape
+            mids.append(self.mat2.dot(mid.reshape(C, B * t), w2))
+        prod = fold_end2_mul_dma(mids[0], mids[1], self.mat2.R,
+                                 chunk=min(self.fold_chunk, 256),
+                                 interpret=self.interpret)
+        prod = prod.reshape(self.mat2.R, B, t)
+        return self._from_internal(self.inverse_internal(prod, c))

@@ -162,3 +162,12 @@ def test_pointwise_dma_interpret():
     b = jax.device_put(rng.integers(0, F.q, (16, 2048), dtype=np.uint64))
     got = np.asarray(pointwise_dma(a, b, chunk_rows=4, interpret=True))
     assert np.array_equal(got, np.asarray(F.mul(a, b)))
+
+
+def test_mxu2_fused_pointwise_interpret(data):
+    """fold_end2_mul_dma: the two forward end-folds and the slot product
+    fused into one kernel must equal the unfused multiply exactly."""
+    a, b, want = data
+    tp = Mxu2PallasNTT(N, interpret=True, dma_folds=True, fold_chunk=128,
+                       pointwise_pallas=True, fuse_pointwise=True)
+    assert np.array_equal(np.asarray(tp.mul(a, b)), want)
