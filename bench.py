@@ -344,6 +344,62 @@ def model_rates():
     return out
 
 
+def bigdeg_rates():
+    """deg-2^18 / 2^20 Goldilocks ring mults via the single-module MXU
+    path (sub-t fold chunking) — beyond-reference scale on ONE chip.
+    deg-2^20 runs without the fused slot product: its fold2 kernel's
+    VMEM footprint (2 operands x 9216 rows) exceeds the chunk budget."""
+    import jax
+
+    from stark_rings_tpu.ops.pallas_fold import Mxu2PallasNTT
+
+    q = 2**64 - 2**32 + 1
+    rng = np.random.default_rng(4)
+    out = {}
+    for logN, B, chunk, fusepw in ((18, 32, 128, True),
+                                   (20, 8, 128, False)):
+        try:
+            N = 1 << logN
+            tp = Mxu2PallasNTT(N, dma_folds=True, pointwise_pallas=True,
+                               fuse_pointwise=fusepw, fold_chunk=chunk)
+            c = jax.device_put(tp.consts())
+
+            def build(depth):
+                a = jax.device_put(rng.integers(0, q, size=(B, N),
+                                                dtype=np.uint64))
+                bs = [jax.device_put(rng.integers(0, q, size=(B, N),
+                                                  dtype=np.uint64))
+                      for _ in range(depth)]
+
+                def fn(cc, x, bs):
+                    for i in range(depth):
+                        x = tp.mul(x, bs[i], cc)
+                    return x
+                return jax.jit(fn), (c, a, bs)
+
+            rate, _ = chain_rate(build, B, lo=1, hi=3, reps=2)
+            try:  # exactness vs the native oracle (1 element)
+                from stark_rings_tpu.native.host import HostGoldilocks
+
+                hg = HostGoldilocks(N)
+                a = jax.device_put(rng.integers(0, q, size=(1, N),
+                                                dtype=np.uint64))
+                b = jax.device_put(rng.integers(0, q, size=(1, N),
+                                                dtype=np.uint64))
+                got = np.asarray(jax.jit(
+                    lambda cc, x, y: tp.mul(x, y, cc))(c, a, b))
+                assert np.array_equal(got, hg.mul(np.asarray(a),
+                                                  np.asarray(b)))
+            except (OSError, ImportError):
+                pass
+            out[f"deg2^{logN}"] = round(rate, 1)
+        except Exception as exc:  # noqa
+            print(f"bigdeg 2^{logN} failed ({type(exc).__name__}: {exc})",
+                  file=sys.stderr)
+            out[f"deg2^{logN}"] = None
+    return out
+
+
 def main():
     N, B = 1 << 16, 128  # B large enough to stay compute-bound even at
     #                      25 ms/dispatch tunnel-congestion episodes
@@ -370,6 +426,12 @@ def main():
         print(f"stark pow2 bench failed ({type(exc).__name__}: {exc})",
               file=sys.stderr)
         sk_rate = None
+    try:
+        bigdeg = bigdeg_rates()
+    except Exception as exc:  # noqa
+        print(f"bigdeg bench failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+        bigdeg = None
 
     print(json.dumps({
         "metric": f"goldilocks_deg2^{N.bit_length() - 1}"
@@ -388,6 +450,7 @@ def main():
         "model_crt_mults_per_sec": models,
         "babybear_deg2^12_ring_mults_per_sec": bb_rate,
         "stark_prime_deg2^12_ring_mults_per_sec": sk_rate,
+        "goldilocks_bigdeg_ring_mults_per_sec": bigdeg,
         "batch": pb,
         "device": str(__import__("jax").devices()[0]),
     }))
