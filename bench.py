@@ -306,8 +306,13 @@ def model_rates():
     from stark_rings_tpu.rings import get_ring
 
     out = {}
-    for name, B in (("goldilocks", 16384), ("babybear", 4096),
-                    ("frog", 16384), ("stark_prime", 1024)):
+    # depth spans sized so the differenced signal (hi-lo chain steps)
+    # is tens of ms — well above tunnel round-trip jitter.  Small-D
+    # steps take ~0.5 ms at these batches, the limbed stark ~3 ms.
+    for name, B, lo, hi in (("goldilocks", 65536, 2, 34),
+                            ("babybear", 16384, 2, 34),
+                            ("frog", 65536, 2, 34),
+                            ("stark_prime", 1024, 2, 12)):
         try:
             ring = get_ring(name)
             f = ring.field
@@ -335,7 +340,7 @@ def model_rates():
                     return x
                 return jax.jit(fn), (a, bs)
 
-            rate, _ = chain_rate(build, B, lo=1, hi=5, reps=2)
+            rate, _ = chain_rate(build, B, lo=lo, hi=hi, reps=3)
             out[name] = round(rate, 1)
         except Exception as exc:  # noqa
             print(f"model {name} failed ({type(exc).__name__}: {exc})",

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Protocol-layer throughput on the real chip: the operations a
+lattice-folding prover actually spends time in, above the raw ring
+multiply — Ajtai commitments (ring mat-vec), gadget decomposition,
+batched monomial range checks, and 20-var MLE evaluation.
+
+Timing: in-module dependent chains, depth-differenced (see bench.py
+chain_rate) — immune to the tunnel's per-dispatch latency.
+
+Writes benchmarks/PROTO_r{round}.json and prints it.
+
+Run:  python benchmarks/bench_protocol.py
+"""
+import json
+import pathlib
+import random
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import chain_rate
+    from stark_rings_tpu.decomp import gadget_decompose
+    from stark_rings_tpu.linalg import FieldElems, Matrix, RingElems
+    from stark_rings_tpu.mle import DenseMLE
+    from stark_rings_tpu.rings import get_ring
+    from stark_rings_tpu.rings.monomial import psi_range_check_batched
+
+    out = {"device": str(jax.devices()[0])}
+    rng = random.Random(11)
+    nrng = np.random.default_rng(11)
+
+    # ---- Ajtai commitment: c = A s over NTT-form goldilocks elements ----
+    ring = get_ring("goldilocks")
+    f = ring.field
+    e = RingElems(ring)
+    n, L = 8, 1024                      # commitment rows x witness length
+    A = Matrix(e, np.asarray(ring.rand_ntt((n, L), rng)))
+
+    def build_commit(depth):
+        s = jax.device_put(np.asarray(ring.rand_ntt((L,), rng)))
+
+        def fn(s):
+            for _ in range(depth):
+                c = A.mul_vec(s)
+                # feed the commitment back into the witness: dependent
+                s = ring.ntt_mul(s, jnp.broadcast_to(c[:1], s.shape))
+            return s
+        return jax.jit(fn), (s,)
+
+    try:
+        rate, _ = chain_rate(build_commit, 1, lo=2, hi=10, reps=3)
+        out["ajtai_commit_n8_L1024_per_s"] = round(rate, 2)
+    except Exception as exc:  # noqa
+        print(f"commit bench failed: {exc}", file=sys.stderr)
+        out["ajtai_commit_n8_L1024_per_s"] = None
+
+    # ---- gadget decomposition throughput (coeff-form witnesses) --------
+    B, base, k = 4096, 256, 9
+
+    def build_decomp(depth):
+        x = jax.device_put(nrng.integers(0, f.q, size=(B, ring.D),
+                                         dtype=np.uint64))
+
+        def fn(x):
+            for _ in range(depth):
+                digits = gadget_decompose(f, x, base, k)   # [B*k, D]
+                # dependent re-entry: fold digits back into an element
+                x = f.add(x, digits.reshape(B, k, ring.D)[:, 0])
+            return x
+        return jax.jit(fn), (x,)
+
+    try:
+        rate, _ = chain_rate(build_decomp, B, lo=2, hi=10, reps=3)
+        out["gadget_decompose_elems_per_s"] = round(rate, 1)
+    except Exception as exc:  # noqa
+        print(f"decomp bench failed: {exc}", file=sys.stderr)
+        out["gadget_decompose_elems_per_s"] = None
+
+    # ---- batched psi range check (monomial.rs:82-93 on tensors) --------
+    fr = get_ring("frog")
+
+    def build_rc(depth):
+        digits = jax.device_put(np.asarray(
+            fr.encode_coeffs(np.array([[rng.randrange(-2, 3) % fr.q
+                                        for _ in range(fr.D)]
+                                       for _ in range(2048)],
+                                      dtype=object))))
+
+        def fn(d):
+            acc = jnp.zeros((), jnp.uint32)
+            for _ in range(depth):
+                ok = psi_range_check_batched(fr, d)
+                acc = acc + ok.sum().astype(jnp.uint32)
+                d = fr.field.add(d, jnp.zeros_like(d) + acc.astype(d.dtype))
+            return d
+        return jax.jit(fn), (digits,)
+
+    try:
+        rate, _ = chain_rate(build_rc, 2048, lo=2, hi=10, reps=3)
+        out["psi_range_check_elems_per_s"] = round(rate, 1)
+    except Exception as exc:  # noqa
+        print(f"range-check bench failed: {exc}", file=sys.stderr)
+        out["psi_range_check_elems_per_s"] = None
+
+    # ---- 20-var dense MLE full evaluation (config 4's hot loop) --------
+    fe = FieldElems(f)
+    nv = 20
+
+    def build_mle(depth):
+        evals = jax.device_put(nrng.integers(0, f.q, size=(1 << nv,),
+                                             dtype=np.uint64))
+        pts = [jax.device_put(np.uint64(rng.randrange(f.q)))
+               for _ in range(nv)]
+
+        def fn(ev, pts):
+            for _ in range(depth):
+                m = DenseMLE(fe, nv, ev)
+                v = m.evaluate(list(pts))
+                # dependent: shift the table by the value
+                ev = f.add(ev, jnp.broadcast_to(v, ev.shape))
+            return ev
+        return jax.jit(fn), (evals, pts)
+
+    try:
+        rate, _ = chain_rate(build_mle, 1, lo=1, hi=5, reps=3)
+        out["mle20_full_evaluate_per_s"] = round(rate, 2)
+    except Exception as exc:  # noqa
+        print(f"mle bench failed: {exc}", file=sys.stderr)
+        out["mle20_full_evaluate_per_s"] = None
+
+    line = json.dumps(out)
+    print(line)
+    path = pathlib.Path(__file__).parent / "PROTO_r02.json"
+    path.write_text(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
