@@ -56,7 +56,7 @@ def main():
         return jax.jit(fn), (s,)
 
     try:
-        rate, _ = chain_rate(build_commit, 1, lo=2, hi=10, reps=3)
+        rate, _ = chain_rate(build_commit, 1, lo=2, hi=130, reps=3)
         out["ajtai_commit_n8_L1024_per_s"] = round(rate, 2)
     except Exception as exc:  # noqa
         print(f"commit bench failed: {exc}", file=sys.stderr)
@@ -78,7 +78,7 @@ def main():
         return jax.jit(fn), (x,)
 
     try:
-        rate, _ = chain_rate(build_decomp, B, lo=2, hi=10, reps=3)
+        rate, _ = chain_rate(build_decomp, B, lo=2, hi=66, reps=3)
         out["gadget_decompose_elems_per_s"] = round(rate, 1)
     except Exception as exc:  # noqa
         print(f"decomp bench failed: {exc}", file=sys.stderr)
@@ -104,7 +104,7 @@ def main():
         return jax.jit(fn), (digits,)
 
     try:
-        rate, _ = chain_rate(build_rc, 2048, lo=2, hi=10, reps=3)
+        rate, _ = chain_rate(build_rc, 2048, lo=2, hi=66, reps=3)
         out["psi_range_check_elems_per_s"] = round(rate, 1)
     except Exception as exc:  # noqa
         print(f"range-check bench failed: {exc}", file=sys.stderr)
@@ -135,6 +135,28 @@ def main():
     except Exception as exc:  # noqa
         print(f"mle bench failed: {exc}", file=sys.stderr)
         out["mle20_full_evaluate_per_s"] = None
+
+    # ---- same, via the one-kernel Pallas evaluation (mle/pallas_fix) ----
+    from stark_rings_tpu.mle.pallas_fix import evaluate_goldilocks_pallas
+
+    def build_mle_pallas(depth):
+        evals = jax.device_put(nrng.integers(0, f.q, size=(1 << nv,),
+                                             dtype=np.uint64))
+        pts = [np.uint64(rng.randrange(f.q)) for _ in range(nv)]
+
+        def fn(ev):
+            for _ in range(depth):
+                v = evaluate_goldilocks_pallas(ev, pts)
+                ev = f.add(ev, jnp.broadcast_to(v, ev.shape))
+            return ev
+        return jax.jit(fn), (evals,)
+
+    try:
+        rate, _ = chain_rate(build_mle_pallas, 1, lo=2, hi=130, reps=3)
+        out["mle20_full_evaluate_pallas_per_s"] = round(rate, 2)
+    except Exception as exc:  # noqa
+        print(f"mle pallas bench failed: {exc}", file=sys.stderr)
+        out["mle20_full_evaluate_pallas_per_s"] = None
 
     line = json.dumps(out)
     print(line)

@@ -225,3 +225,24 @@ def test_ring_element_mle():
             nxt.append([(x + y) % spec.q for x, y in zip(cur[2 * b], prod)])
         cur = nxt
     assert got == cur[0]
+
+
+def test_pallas_full_evaluate_matches_dense():
+    """One-kernel full-table evaluation (mle/pallas_fix.py) must equal
+    DenseMLE.evaluate exactly (binding order is irrelevant for a full
+    evaluation — each variable gets its own coordinate)."""
+    import random
+
+    from stark_rings_tpu.fields import GOLDILOCKS as gf
+    from stark_rings_tpu.linalg import FieldElems as GFE
+    from stark_rings_tpu.mle.pallas_fix import evaluate_goldilocks_pallas
+
+    rng = np.random.default_rng(17)
+    pr = random.Random(17)
+    for nv in (9, 11):
+        ev = rng.integers(0, gf.q, size=(1 << nv,), dtype=np.uint64)
+        pts = [np.uint64(pr.randrange(gf.q)) for _ in range(nv)]
+        want = int(gf.decode(DenseMLE(GFE(gf), nv, ev).evaluate(list(pts))))
+        got = int(gf.decode(
+            evaluate_goldilocks_pallas(ev, pts, interpret=True)))
+        assert want == got
