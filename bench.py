@@ -405,6 +405,36 @@ def bigdeg_rates():
     return out
 
 
+def mle20_eval_rate():
+    """20-var dense-MLE full evaluation via the one-kernel Pallas path
+    (mle/pallas_fix.py) — the BASELINE config-4 hot loop, 118x the XLA
+    halving loop (PERF_NOTES)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stark_rings_tpu.fields import GOLDILOCKS as f
+    from stark_rings_tpu.mle.pallas_fix import evaluate_goldilocks_pallas
+
+    nv = 20
+    rng = np.random.default_rng(5)
+    pts = [np.uint64(int(x)) for x in
+           rng.integers(0, f.q, size=(nv,), dtype=np.uint64)]
+
+    def build(depth):
+        ev = jax.device_put(rng.integers(0, f.q, size=(1 << nv,),
+                                         dtype=np.uint64))
+
+        def fn(e):
+            for _ in range(depth):
+                v = evaluate_goldilocks_pallas(e, pts)
+                e = f.add(e, jnp.broadcast_to(v, e.shape))
+            return e
+        return jax.jit(fn), (ev,)
+
+    rate, _ = chain_rate(build, 1, lo=2, hi=66, reps=2)
+    return round(rate, 1)
+
+
 def main():
     N, B = 1 << 16, 128  # B large enough to stay compute-bound even at
     #                      25 ms/dispatch tunnel-congestion episodes
@@ -437,6 +467,12 @@ def main():
         print(f"bigdeg bench failed ({type(exc).__name__}: {exc})",
               file=sys.stderr)
         bigdeg = None
+    try:
+        mle_rate = mle20_eval_rate()
+    except Exception as exc:  # noqa
+        print(f"mle bench failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+        mle_rate = None
 
     print(json.dumps({
         "metric": f"goldilocks_deg2^{N.bit_length() - 1}"
@@ -456,6 +492,7 @@ def main():
         "babybear_deg2^12_ring_mults_per_sec": bb_rate,
         "stark_prime_deg2^12_ring_mults_per_sec": sk_rate,
         "goldilocks_bigdeg_ring_mults_per_sec": bigdeg,
+        "mle20_full_evaluate_per_sec_pallas": mle_rate,
         "batch": pb,
         "device": str(__import__("jax").devices()[0]),
     }))

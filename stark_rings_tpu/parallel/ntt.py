@@ -43,7 +43,8 @@ __all__ = ["ShardedNTT"]
 
 class ShardedNTT:
     def __init__(self, field_name: str, N: int, n_devices: int,
-                 negacyclic: bool = True, axis: str = "x"):
+                 negacyclic: bool = True, axis: str = "x",
+                 local: str = "vpu"):
         f = get_field(field_name)
         assert N & (N - 1) == 0
         logN = N.bit_length() - 1
@@ -66,6 +67,17 @@ class ShardedNTT:
         self.k1_leaf = np.array([e // 2 for e in self.col_ctx.leaf_exps],
                                 dtype=np.int64)
         self._consts = None
+        # local transform engine: "vpu" = radix-4 butterflies (any
+        # field); "mxu" = the flagship int8 digit-matmul construction
+        # (ops/mxu2.PrescaledMat) for the local column/row NTTs, in the
+        # SAME leaf order, so twiddles/exchange logic are untouched.
+        # Goldilocks only (the prescaled weights encode its modulus).
+        assert local in ("vpu", "mxu")
+        self.local = local
+        if local == "mxu":
+            assert field_name == "goldilocks", \
+                "mxu local transforms are goldilocks-only"
+            self._mxu_mats = self._build_mxu_locals()
 
     def consts(self):
         """Device constant tables (built eagerly, cached)."""
@@ -91,6 +103,47 @@ class ShardedNTT:
                 self._consts = (jax.device_get(omega_pows),
                                 jax.device_get(omega_inv_pows), tw, itw)
         return self._consts
+
+    def _build_mxu_locals(self):
+        """Leaf-order cyclic NTT constant matrices for both local sizes.
+
+        W[i, n] = w^(leaf[i]*n), Wi[n, i] = w^(-leaf[i]*n)/size — exact
+        drop-ins for NTTContext.forward/inverse on the chosen leaf
+        order, lowered to the int8 digit-plane matmul."""
+        from ..ops.mxu2 import PrescaledMat
+
+        q = self.f.q
+        mats = {}
+        for name, ctx, n in (("col", self.col_ctx, self.N1),
+                             ("row", self.row_ctx, self.N2)):
+            w = pow(self.omega_int, self.N // n, q)
+            wi = pow(w, q - 2, q)
+            n_inv = pow(n, q - 2, q)
+            leaf = [e // 2 for e in ctx.leaf_exps]
+            W = [[pow(w, k * j, q) for j in range(n)] for k in leaf]
+            Wi = [[pow(wi, k * j, q) * n_inv % q for k in leaf]
+                  for j in range(n)]
+            mats[name] = (PrescaledMat(W), PrescaledMat(Wi))
+        return mats
+
+    def _mxu_apply(self, mat):
+        """NTTContext.forward/inverse-compatible last-axis transform."""
+        def fn(xm):
+            n = xm.shape[-1]
+            lead = xm.shape[:-1]
+            y = mat.apply(xm.reshape(-1, n).T)
+            return y.T.reshape(lead + (mat.R,))
+        return fn
+
+    def _local_fns(self):
+        """(col_fwd, col_inv, row_fwd, row_inv) per the local engine."""
+        if self.local == "mxu":
+            (cW, cWi), (rW, rWi) = (self._mxu_mats["col"],
+                                    self._mxu_mats["row"])
+            return (self._mxu_apply(cW), self._mxu_apply(cWi),
+                    self._mxu_apply(rW), self._mxu_apply(rWi))
+        return (self.col_ctx.forward, self.col_ctx.inverse,
+                self.row_ctx.forward, self.row_ctx.inverse)
 
     def _pow_table(self, base_int: int, n: int):
         f = self.f
@@ -137,7 +190,7 @@ class ShardedNTT:
             tfac = f.mul(_expand_col(colt, nd), _expand_row(rslice, nd))
             x = f.mul(x, tfac)
         # column NTT over axis N1 (second from elem end)
-        x = self._apply_on_axis(self.col_ctx.forward, x, 2)
+        x = self._apply_on_axis(self._local_fns()[0], x, 2)
         # twiddle omega^(k1_leaf * n2)
         T = self._twiddle(jnp.asarray(self.k1_leaf), cols, omega_pows)
         x = f.mul(x, T)
@@ -146,7 +199,7 @@ class ShardedNTT:
         x = jax.lax.all_to_all(x, self.axis, split_axis=nd_axis,
                                concat_axis=nd_axis + 1, tiled=True)
         # row NTT over the last (N2) axis
-        x = self._apply_on_axis(self.row_ctx.forward, x, 1)
+        x = self._apply_on_axis(self._local_fns()[2], x, 1)
         return x
 
     # -- overlapped (software-pipelined) variant ---------------------------
@@ -172,7 +225,7 @@ class ShardedNTT:
             tfac = f.mul(_expand_col(jnp.asarray(colt), nd),
                          _expand_row(rslice, nd))
             x = f.mul(x, tfac)
-        x = self._apply_on_axis(self.col_ctx.forward, x, 2)
+        x = self._apply_on_axis(self._local_fns()[0], x, 2)
         T = self._twiddle(jnp.asarray(self.k1_leaf), cols, omega_pows)
         return f.mul(x, T)
 
@@ -181,7 +234,7 @@ class ShardedNTT:
         nd_axis = y.ndim - 2 - nd
         y = jax.lax.all_to_all(y, self.axis, split_axis=nd_axis,
                                concat_axis=nd_axis + 1, tiled=True)
-        return self._apply_on_axis(self.row_ctx.forward, y, 1)
+        return self._apply_on_axis(self._local_fns()[2], y, 1)
 
     def _local_forward_overlap(self, x, chunks: int = 2):
         """Batch-pipelined forward: needs a leading batch axis whose size
@@ -207,7 +260,7 @@ class ShardedNTT:
         nd = 1 if f.limbed else 0
         C = self.N2 // self.P
         R = self.N1 // self.P
-        y = self._apply_on_axis(self.row_ctx.inverse, y, 1)
+        y = self._apply_on_axis(self._local_fns()[3], y, 1)
         # inverse twiddle for the LOCAL row block of k1 leaves
         row_ofs = jax.lax.axis_index(self.axis) * R
         k1_local = jax.lax.dynamic_slice_in_dim(
@@ -219,7 +272,7 @@ class ShardedNTT:
         nd_axis = y.ndim - 2 - nd
         y = jax.lax.all_to_all(y, self.axis, split_axis=nd_axis + 1,
                                concat_axis=nd_axis, tiled=True)
-        y = self._apply_on_axis(self.col_ctx.inverse, y, 2)
+        y = self._apply_on_axis(self._local_fns()[1], y, 2)
         if self.negacyclic:
             icolt, irowt = itw
             ofs = self._col_ofs()

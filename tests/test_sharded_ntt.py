@@ -190,3 +190,29 @@ def test_sharded_stark_prime_limbed():
     got = np.asarray(sn.from_matrix(mul(sn.to_matrix(a), sn.to_matrix(b))))
     want = np.asarray(NTTContext(f, N, negacyclic=True).mul(a, b))
     assert np.array_equal(got, want)
+
+
+def test_sharded_mxu_local_matches_vpu():
+    """The flagship int8 digit-matmul local transforms (local="mxu")
+    must produce exactly the same sharded multiply as the radix-4 VPU
+    locals — same leaf order, same exchange, different engine."""
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    f = get_field("goldilocks")
+    N = 1 << 12
+    mesh = make_mesh(Pn)
+    rng = np.random.default_rng(21)
+    a_np = rng.integers(0, f.q, size=(N,), dtype=np.uint64)
+    b_np = rng.integers(0, f.q, size=(N,), dtype=np.uint64)
+    outs = {}
+    for local in ("vpu", "mxu"):
+        sn = ShardedNTT("goldilocks", N, Pn, local=local)
+        fwd, inv, mul = sn.make_fns(mesh)
+        a = sn.to_matrix(a_np)
+        b = sn.to_matrix(b_np)
+        outs[local] = np.asarray(jax.device_get(mul(a, b)))
+        # forward alone must agree too (same leaf-order evaluations)
+        outs[local + "_fwd"] = np.asarray(jax.device_get(fwd(a)))
+    assert np.array_equal(outs["vpu"], outs["mxu"])
+    assert np.array_equal(outs["vpu_fwd"], outs["mxu_fwd"])
