@@ -246,3 +246,24 @@ def test_pallas_full_evaluate_matches_dense():
         got = int(gf.decode(
             evaluate_goldilocks_pallas(ev, pts, interpret=True)))
         assert want == got
+
+
+def test_pallas_fix_last_matches_dense():
+    """Partial one-kernel fix (mle/pallas_fix.fix_last_goldilocks_pallas)
+    must equal DenseMLE.fix_last_variables exactly."""
+    import random
+
+    from stark_rings_tpu.fields import GOLDILOCKS as gf
+    from stark_rings_tpu.linalg import FieldElems as GFE
+    from stark_rings_tpu.mle.pallas_fix import fix_last_goldilocks_pallas
+
+    rng = np.random.default_rng(19)
+    pr = random.Random(19)
+    for nv, k in ((9, 2), (11, 4)):
+        ev = rng.integers(0, gf.q, size=(1 << nv,), dtype=np.uint64)
+        pts = [np.uint64(pr.randrange(gf.q)) for _ in range(k)]
+        want = np.asarray(
+            DenseMLE(GFE(gf), nv, ev).fix_last_variables(list(pts)).evals)
+        got = np.asarray(
+            fix_last_goldilocks_pallas(ev, pts, interpret=True))
+        assert np.array_equal(want, got)
