@@ -157,9 +157,8 @@ def primary(N, B):
                 return x
             return jax.jit(fn), (c, a, bs)
 
-        rates["mxu2_pallas_single"], _ = chain_rate(build_pallas, B)
-        batches["mxu2_pallas_single"] = B
-        try:  # spot-check exactness vs the native oracle
+        try:  # bit-exactness vs the native oracle BEFORE recording any
+            # rate: a mismatching path must never become the headline
             from stark_rings_tpu.native.host import HostGoldilocks
 
             a, b = operands(2)
@@ -171,6 +170,8 @@ def primary(N, B):
                 "mxu2 pallas mismatch vs host oracle"
         except (OSError, ImportError):
             pass
+        rates["mxu2_pallas_single"], _ = chain_rate(build_pallas, B)
+        batches["mxu2_pallas_single"] = B
     except Exception as exc:  # noqa
         print(f"pallas single failed ({type(exc).__name__}: {exc})",
               file=sys.stderr)
@@ -312,7 +313,7 @@ def model_rates():
     for name, B, lo, hi in (("goldilocks", 65536, 2, 34),
                             ("babybear", 16384, 2, 34),
                             ("frog", 65536, 2, 34),
-                            ("stark_prime", 1024, 2, 12)):
+                            ("stark_prime", 1024, 2, 26)):
         try:
             ring = get_ring(name)
             f = ring.field

@@ -144,7 +144,6 @@ def fix_last_goldilocks_pallas(evals, points, chunk: int = 512,
 
     Requires 1 <= k <= nv-7 and nv >= 9 (output keeps >= one VMEM row).
     """
-    f = GOLDILOCKS
     nv = (evals.shape[-1]).bit_length() - 1
     k = len(points)
     assert evals.shape[-1] == 1 << nv and nv >= 9 and 1 <= k <= nv - 7

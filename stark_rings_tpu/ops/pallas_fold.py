@@ -24,7 +24,8 @@ from .pallas_goldilocks import _mul_q, _reduce128, _sub_q
 from .mxu2 import B_BITS, K_BUCKETS
 
 __all__ = ["fold_end", "fold_tw", "fold_end_dma", "fold_tw_dma",
-           "pointwise_mul", "pointwise_dma", "pointwise_chain"]
+           "fold_end2_mul_dma", "pointwise_mul", "pointwise_dma",
+           "pointwise_chain"]
 
 _BIAS = np.uint32(1 << 26)
 _BIAS_VAL = sum((1 << 26) << (B_BITS * k) for k in range(K_BUCKETS))
@@ -175,7 +176,6 @@ def _make_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
     [R, t] tile is written transposed, so the output is [t, B*R] — the
     mid-level transpose of the four-step NTT fused into the epilogue
     (no separate XLA u64 transpose pass)."""
-    KR = K_BUCKETS * R
     twiddled = t is not None
     subt = twiddled and chunk < t
     sub = (t // chunk) if subt else 1
@@ -270,8 +270,12 @@ def _make_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
                 cp.start()
             return carry
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks), body,
-                          jnp.int32(0))
+        if unroll:
+            for i in range(n_chunks):
+                body(i, 0)
+        else:
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks), body,
+                              jnp.int32(0))
         for tail in range(max(0, n_chunks - 2), n_chunks):
             for cp in out_copies(tail, tail % 2):
                 cp.wait()

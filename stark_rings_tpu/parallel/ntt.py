@@ -109,7 +109,9 @@ class ShardedNTT:
 
         W[i, n] = w^(leaf[i]*n), Wi[n, i] = w^(-leaf[i]*n)/size — exact
         drop-ins for NTTContext.forward/inverse on the chosen leaf
-        order, lowered to the int8 digit-plane matmul."""
+        order, lowered to the int8 digit-plane matmul.  Entries come
+        from a length-n power table indexed mod n (w has order n) — the
+        per-entry pow() loop took minutes at N1 = 1024."""
         from ..ops.mxu2 import PrescaledMat
 
         q = self.f.q
@@ -119,29 +121,41 @@ class ShardedNTT:
             w = pow(self.omega_int, self.N // n, q)
             wi = pow(w, q - 2, q)
             n_inv = pow(n, q - 2, q)
-            leaf = [e // 2 for e in ctx.leaf_exps]
-            W = [[pow(w, k * j, q) for j in range(n)] for k in leaf]
-            Wi = [[pow(wi, k * j, q) * n_inv % q for k in leaf]
-                  for j in range(n)]
-            mats[name] = (PrescaledMat(W), PrescaledMat(Wi))
+            leaf = np.array([e // 2 for e in ctx.leaf_exps])
+            wpow = np.empty(n, dtype=object)
+            wipow = np.empty(n, dtype=object)
+            wpow[0] = wipow[0] = 1
+            for j in range(1, n):
+                wpow[j] = wpow[j - 1] * w % q
+                wipow[j] = wipow[j - 1] * wi % q
+            idx = leaf[:, None] * np.arange(n)[None, :] % n
+            W = np.take(wpow, idx)
+            Wi = np.take(wipow, idx).T * n_inv % q
+            # device-resident weights, passed to the dot as arguments:
+            # MB-scale numpy closures become HLO literals and choke the
+            # remote compiler (CLAUDE.md)
+            fwd = PrescaledMat(W)
+            inv = PrescaledMat(Wi)
+            mats[name] = (fwd, jax.device_put(fwd.big),
+                          inv, jax.device_put(inv.big))
         return mats
 
-    def _mxu_apply(self, mat):
+    def _mxu_apply(self, mat, big):
         """NTTContext.forward/inverse-compatible last-axis transform."""
         def fn(xm):
             n = xm.shape[-1]
             lead = xm.shape[:-1]
-            y = mat.apply(xm.reshape(-1, n).T)
+            y = mat.fold(mat.dot(xm.reshape(-1, n).T, big))
             return y.T.reshape(lead + (mat.R,))
         return fn
 
     def _local_fns(self):
         """(col_fwd, col_inv, row_fwd, row_inv) per the local engine."""
         if self.local == "mxu":
-            (cW, cWi), (rW, rWi) = (self._mxu_mats["col"],
-                                    self._mxu_mats["row"])
-            return (self._mxu_apply(cW), self._mxu_apply(cWi),
-                    self._mxu_apply(rW), self._mxu_apply(rWi))
+            cW, cWb, cWi, cWib = self._mxu_mats["col"]
+            rW, rWb, rWi, rWib = self._mxu_mats["row"]
+            return (self._mxu_apply(cW, cWb), self._mxu_apply(cWi, cWib),
+                    self._mxu_apply(rW, rWb), self._mxu_apply(rWi, rWib))
         return (self.col_ctx.forward, self.col_ctx.inverse,
                 self.row_ctx.forward, self.row_ctx.inverse)
 
