@@ -78,7 +78,7 @@ def main():
         return jax.jit(fn), (x,)
 
     try:
-        rate, _ = chain_rate(build_decomp, B, lo=2, hi=34, reps=3)
+        rate, _ = chain_rate(build_decomp, B, lo=1, hi=9, reps=3)
         out["gadget_decompose_elems_per_s"] = round(rate, 1)
     except Exception as exc:  # noqa
         print(f"decomp bench failed: {exc}", file=sys.stderr)

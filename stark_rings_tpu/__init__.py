@@ -24,12 +24,26 @@ Layer map (mirrors SURVEY.md §1):
 """
 
 from . import decomp, fields, linalg, mle, ops, parallel, rings, spec
+from .decomp import (decompose, gadget_decompose, gadget_recompose,
+                     recompose)
+from .errors import ConversionError
 from .fields import FIELDS, get_field
-from .rings import RINGS, RingModel, get_ring
+from .linalg import (AlgebraError, FieldElems, Matrix, RingElems,
+                     SparseMatrix, SymmetricMatrix)
+from .mle import ArithError, DenseMLE, SparseMLE
+from .parallel import ShardedNTT, make_mesh
+from .rings import RINGS, RingModel, get_power_ring, get_ring
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
+# the reference re-exports its whole trait surface at the crate root
+# (crates/ring/src/lib.rs:4-12, stark-rings lib.rs) — mirror that:
+# the common types are importable from the package top level.
 __all__ = [
     "fields", "rings", "decomp", "linalg", "mle", "ops", "parallel", "spec",
-    "get_field", "get_ring", "FIELDS", "RINGS", "RingModel",
+    "get_field", "get_ring", "get_power_ring", "FIELDS", "RINGS",
+    "RingModel", "Matrix", "SparseMatrix", "SymmetricMatrix", "FieldElems",
+    "RingElems", "DenseMLE", "SparseMLE", "decompose", "recompose",
+    "gadget_decompose", "gadget_recompose", "ShardedNTT", "make_mesh",
+    "AlgebraError", "ArithError", "ConversionError",
 ]
