@@ -216,3 +216,23 @@ def test_sharded_mxu_local_matches_vpu():
         outs[local + "_fwd"] = np.asarray(jax.device_get(fwd(a)))
     assert np.array_equal(outs["vpu"], outs["mxu"])
     assert np.array_equal(outs["vpu_fwd"], outs["mxu_fwd"])
+
+
+def test_sharded_mxu_local_overlap_matches():
+    """local="mxu" composed with the batch-pipelined overlap forward."""
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    f = get_field("goldilocks")
+    N = 1 << 12
+    mesh = make_mesh(Pn)
+    rng = np.random.default_rng(23)
+    B = 4
+    a_np = rng.integers(0, f.q, size=(B, N), dtype=np.uint64)
+    sn = ShardedNTT("goldilocks", N, Pn, local="mxu")
+    fwd, _, _ = sn.make_fns(mesh, batch_ndim=1)
+    fwd_ov, _, _ = sn.make_fns(mesh, batch_ndim=1, overlap=True)
+    a = np.stack([sn.to_matrix(v) for v in a_np])
+    plain = np.asarray(jax.device_get(fwd(a)))
+    ov = np.asarray(jax.device_get(fwd_ov(a)))
+    assert np.array_equal(plain, ov)
