@@ -313,7 +313,7 @@ def model_rates():
     for name, B, lo, hi in (("goldilocks", 65536, 2, 34),
                             ("babybear", 16384, 2, 34),
                             ("frog", 65536, 2, 34),
-                            ("stark_prime", 1024, 2, 26)):
+                            ("stark_prime", 4096, 2, 26)):
         try:
             ring = get_ring(name)
             f = ring.field
