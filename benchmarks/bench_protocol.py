@@ -44,19 +44,24 @@ def main():
     n, L = 8, 1024                      # commitment rows x witness length
     A = Matrix(e, np.asarray(ring.rand_ntt((n, L), rng)))
 
+    W = 16                              # witness batch per chain step
+
     def build_commit(depth):
-        s = jax.device_put(np.asarray(ring.rand_ntt((L,), rng)))
+        s = jax.device_put(np.asarray(ring.rand_ntt((W, L), rng)))
 
         def fn(s):
             for _ in range(depth):
-                c = A.mul_vec(s)
-                # feed the commitment back into the witness: dependent
-                s = ring.ntt_mul(s, jnp.broadcast_to(c[:1], s.shape))
+                # W batched commitments per step: einsum-free mat-vec
+                # over the ring batch axes, c[w, r] = sum_l A[r,l]*s[w,l]
+                prod = ring.ntt_mul(A.vals[None], s[:, None])  # [W,n,L,D]
+                c = f.sum(prod, axis=2)                        # [W,n,D]
+                s = ring.ntt_mul(s, jnp.broadcast_to(
+                    c[:, :1], s.shape))
             return s
         return jax.jit(fn), (s,)
 
     try:
-        rate, _ = chain_rate(build_commit, 1, lo=2, hi=130, reps=3)
+        rate, _ = chain_rate(build_commit, W, lo=2, hi=34, reps=3)
         out["ajtai_commit_n8_L1024_per_s"] = round(rate, 2)
     except Exception as exc:  # noqa
         print(f"commit bench failed: {exc}", file=sys.stderr)
