@@ -1,0 +1,146 @@
+"""Batch-trailing ("transposed") model-CRT multiply.
+
+The default RingModel layout is batch-leading: an element vector is
+``[B, D(, L)]``, so every elementwise field op on the NTT form runs with
+the tiny D / E / limb axis minor-most — on TPU that means E (3/9/4) or
+L (8) of the 128 VPU lanes do work and the rest are padding.  The
+prescaled MXU cores (ops/mxu_dense.py) are already batch-trailing
+internally (``[C, B]`` in, ``[R, B]`` out); the per-call wrappers
+transpose to batch-leading and back, and the slot-wise extension
+multiply (ring.ntt_mul) then runs lane-starved between them.
+
+:class:`TModelMul` keeps the whole multiply in the ``[D, B(, L)]``
+layout: the CRT/ICRT matmuls feed the slot product directly and every
+elementwise op has the batch axis minor-most (full lanes).  A chain of
+multiplies (the folding-prover shape) pays the two layout transposes
+once at entry/exit instead of six per step.
+
+Semantics are identical to
+``ring.icrt(ring.ntt_mul(ring.crt(a), ring.crt(b)))`` — the reference
+pipeline crt -> slotwise ext mul -> icrt
+(/root/reference/crates/ring/src/cyclotomic_ring/crt.rs:52-77,
+ntt_form.rs:159-189) — and are tested element-exact against it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["TModelMul"]
+
+_D_BITS = 7
+
+
+def _unwrap(core):
+    """ops/mxu_dense.py wraps some cores in _Wrap2D for the batch-leading
+    interface; the batch-trailing path wants the raw core."""
+    return getattr(core, "core", core)
+
+
+class TModelMul:
+    """Fused model multiply in the batch-trailing layout.
+
+    ``to_t(x)``: storage ``[B, D(, L)]`` -> ``[D, B(, L)]``; ``mul_t``
+    maps two transposed coefficient-form operands to their transposed
+    coefficient-form product.  All four reference models supported.
+    """
+
+    def __init__(self, ring):
+        self.ring = ring
+        self.f = ring.field
+        crt, icrt = ring._dense_crt
+        self._crt = _unwrap(crt)
+        self._icrt = _unwrap(icrt)
+        if ring.E > 1:
+            assert not self.f.limbed, "no limbed extension models exist"
+            perm, inv_perm, idx, fac = ring._ext_tables
+            self._perm = np.asarray(perm)
+            self._inv_perm = np.asarray(inv_perm)
+            self._idx_flat = np.asarray(idx).reshape(-1)
+            # fac: [E, E] storage constants -> broadcast over (N, B)
+            self._fac = jnp.asarray(fac)[None, :, :, None]
+
+    # -- layout ----------------------------------------------------------
+    def to_t(self, x):
+        """[B.., D(, L)] -> [D, B(, L)] (flattens leading batch axes)."""
+        f, D = self.f, self.ring.D
+        if f.limbed:
+            return jnp.transpose(x.reshape((-1, D) + f.limb_shape),
+                                 (1, 0, 2))
+        return x.reshape(-1, D).T
+
+    def from_t(self, xt, batch_shape=None):
+        """[D, B(, L)] -> [B, D(, L)] (or ``batch_shape + (D,...)``)."""
+        f, D = self.f, self.ring.D
+        x = jnp.transpose(xt, (1, 0, 2)) if f.limbed else xt.T
+        if batch_shape is not None:
+            x = x.reshape(tuple(batch_shape) + (D,) + f.limb_shape)
+        return x
+
+    # -- stages ----------------------------------------------------------
+    def _limb_planes(self, core, xt):
+        """storage u32 [C, B, L] -> int8 [P*C, B] (straddling digits)."""
+        outs = []
+        for l in range(core.P):
+            pos = _D_BITS * l
+            j, off = pos >> 5, pos & 31
+            lo = xt[..., j] >> np.uint32(off)
+            if off > 32 - _D_BITS and j + 1 < core.L:
+                lo = lo | (xt[..., j + 1] << np.uint32(32 - off))
+            outs.append((lo & np.uint32(0x7F)).astype(jnp.int8))
+        return jnp.stack(outs, axis=0).reshape(core.P * core.C, -1)
+
+    def _apply_t(self, core, xt):
+        """core @ xt in the batch-trailing layout, canonical/storage out.
+
+        All prescaled cores compute on [C, B]-major data internally; this
+        skips their batch-leading wrapper transposes entirely."""
+        if self.f.limbed:
+            V = jax.lax.dot(jnp.asarray(core.big), self._limb_planes(core, xt),
+                            preferred_element_type=jnp.int32)
+            return core.fold(V)                    # [R, B, L]
+        V = jax.lax.dot(jnp.asarray(core.big), core.planes(xt),
+                        preferred_element_type=jnp.int32)
+        return core.fold(V)                        # [R, B]
+
+    def crt_t(self, xt):
+        """coeff [D, B(, L)] -> NTT form [D, B(, L)]."""
+        return self._apply_t(self._crt, xt)
+
+    def icrt_t(self, yt):
+        return self._apply_t(self._icrt, yt)
+
+    def ntt_mul_t(self, at, bt):
+        """Slot-wise extension multiply, batch minor-most.
+
+        Same math as RingModel.ntt_mul (ntt_form.rs:159-189), with every
+        elementwise op shaped [N, E(, E), B] so the VPU lanes run full.
+        """
+        f, ring = self.f, self.ring
+        N, E = ring.N, ring.E
+        if E == 1:
+            return f.mul(at, bt)
+        B = at.shape[1]
+        a = at.reshape(N, E, B)
+        b = bt.reshape(N, E, B)
+        a_deg = jnp.take(a, self._perm, axis=1)
+        b_deg = jnp.take(b, self._perm, axis=1)
+        # bg[n, i, k, :] = b_deg[n, (k-i) % E, :]
+        bg = jnp.take(b_deg, self._idx_flat, axis=1).reshape(N, E, E, B)
+        scaled = f.mul(self._fac, bg)
+        prod = f.mul(a_deg[:, :, None, :], scaled)
+        c_deg = f.sum(prod, axis=1)                # sum over i
+        c = jnp.take(c_deg, self._inv_perm, axis=1)
+        return c.reshape(N * E, B)
+
+    def mul_t(self, at, bt):
+        """Transposed coeff-form multiply: icrt(crt(a) *slot crt(b))."""
+        return self.icrt_t(self.ntt_mul_t(self.crt_t(at), self.crt_t(bt)))
+
+    # -- batch-leading convenience (pays both transposes) -----------------
+    def mul(self, a, b):
+        batch = a.shape[:-1 - (1 if self.f.limbed else 0)]
+        return self.from_t(self.mul_t(self.to_t(a), self.to_t(b)), batch)

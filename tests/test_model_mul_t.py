@@ -1,0 +1,60 @@
+"""Batch-trailing model multiply (ops/model_mul.TModelMul) equals the
+batch-leading RingModel pipeline element-exactly, for all four models.
+
+The batch-leading pipeline is itself golden-validated against the
+reference vectors (tests/test_spec_golden.py), so equality here anchors
+the transposed layout to the same bit-exactness chain
+(crt.rs:52-77 + ntt_form.rs:159-189).
+"""
+
+import numpy as np
+import pytest
+
+from stark_rings_tpu.ops.model_mul import TModelMul
+from stark_rings_tpu.rings import get_ring
+
+MODELS = ["goldilocks", "babybear", "frog", "stark_prime"]
+
+
+@pytest.mark.parametrize("name", MODELS)
+def test_mul_t_matches_ring_pipeline(name):
+    ring = get_ring(name)
+    rng = np.random.default_rng(hash(name) % 2**32)
+    B = 5
+    a = ring.rand_coeff((B,), __import__("random").Random(1))
+    b = ring.rand_coeff((B,), __import__("random").Random(2))
+
+    want = ring.icrt(ring.ntt_mul(ring.crt(a), ring.crt(b)))
+
+    tm = TModelMul(ring)
+    got = tm.mul(a, b)
+    assert ring.decode(got).tolist() == ring.decode(want).tolist()
+
+    # stagewise: crt_t / ntt_mul_t / icrt_t individually
+    at, bt = tm.to_t(a), tm.to_t(b)
+    fa = tm.crt_t(at)
+    fb = tm.crt_t(bt)
+    assert ring.decode(tm.from_t(fa, (B,))).tolist() == \
+        ring.decode(ring.crt(a)).tolist()
+    prod = tm.ntt_mul_t(fa, fb)
+    assert ring.decode(tm.from_t(prod, (B,))).tolist() == \
+        ring.decode(ring.ntt_mul(ring.crt(a), ring.crt(b))).tolist()
+    del rng
+
+
+@pytest.mark.parametrize("name", ["goldilocks", "stark_prime"])
+def test_mul_t_spec_oracle(name):
+    """One element through the integer spec's coeff-form product."""
+    import random
+
+    ring = get_ring(name)
+    r = random.Random(7)
+    a_ints = [r.randrange(ring.q) for _ in range(ring.D)]
+    b_ints = [r.randrange(ring.q) for _ in range(ring.D)]
+    want = ring.spec.coeff_mul(a_ints, b_ints)
+
+    tm = TModelMul(ring)
+    a = ring.encode_coeffs(np.array([a_ints], dtype=object))
+    b = ring.encode_coeffs(np.array([b_ints], dtype=object))
+    got = ring.decode(tm.mul(a, b))[0]
+    assert [int(v) for v in got] == [int(v) % ring.q for v in want]
