@@ -65,20 +65,14 @@ class TModelMul:
 
     # -- layout ----------------------------------------------------------
     def to_t(self, x):
-        """[B.., D(, L)] -> [D, B(, L)] (flattens leading batch axes)."""
-        f, D = self.f, self.ring.D
-        if f.limbed:
-            return jnp.transpose(x.reshape((-1, D) + f.limb_shape),
-                                 (1, 0, 2))
-        return x.reshape(-1, D).T
+        """[*batch, D(, L)] -> [D, *batch(, L)] (batch shape preserved)."""
+        src = -2 if self.f.limbed else -1
+        return jnp.moveaxis(x, src, 0)
 
-    def from_t(self, xt, batch_shape=None):
-        """[D, B(, L)] -> [B, D(, L)] (or ``batch_shape + (D,...)``)."""
-        f, D = self.f, self.ring.D
-        x = jnp.transpose(xt, (1, 0, 2)) if f.limbed else xt.T
-        if batch_shape is not None:
-            x = x.reshape(tuple(batch_shape) + (D,) + f.limb_shape)
-        return x
+    def from_t(self, xt):
+        """[D, *batch(, L)] -> [*batch, D(, L)]."""
+        dst = -2 if self.f.limbed else -1
+        return jnp.moveaxis(xt, 0, dst)
 
     # -- stages ----------------------------------------------------------
     def _limb_planes(self, core, xt):
@@ -97,14 +91,21 @@ class TModelMul:
         """core @ xt in the batch-trailing layout, canonical/storage out.
 
         All prescaled cores compute on [C, B]-major data internally; this
-        skips their batch-leading wrapper transposes entirely."""
+        skips their batch-leading wrapper transposes entirely.  Batch
+        axes beyond the first are flattened for the dot and restored."""
         if self.f.limbed:
-            V = jax.lax.dot(jnp.asarray(core.big), self._limb_planes(core, xt),
+            bshape = xt.shape[1:-1]
+            x2 = xt.reshape((core.C, -1) + self.f.limb_shape)
+            V = jax.lax.dot(jnp.asarray(core.big),
+                            self._limb_planes(core, x2),
                             preferred_element_type=jnp.int32)
-            return core.fold(V)                    # [R, B, L]
-        V = jax.lax.dot(jnp.asarray(core.big), core.planes(xt),
+            y = core.fold(V)                       # [R, B, L]
+            return y.reshape((core.R,) + bshape + self.f.limb_shape)
+        bshape = xt.shape[1:]
+        V = jax.lax.dot(jnp.asarray(core.big),
+                        core.planes(xt.reshape(core.C, -1)),
                         preferred_element_type=jnp.int32)
-        return core.fold(V)                        # [R, B]
+        return core.fold(V).reshape((core.R,) + bshape)
 
     def crt_t(self, xt):
         """coeff [D, B(, L)] -> NTT form [D, B(, L)]."""
@@ -118,14 +119,17 @@ class TModelMul:
 
         Same math as RingModel.ntt_mul (ntt_form.rs:159-189), with every
         elementwise op shaped [N, E(, E), B] so the VPU lanes run full.
+        Operands are ``[D, *batch]`` with equal batch shapes (broadcast
+        on the caller side).
         """
         f, ring = self.f, self.ring
         N, E = ring.N, ring.E
         if E == 1:
             return f.mul(at, bt)
-        B = at.shape[1]
-        a = at.reshape(N, E, B)
-        b = bt.reshape(N, E, B)
+        bshape = at.shape[1:]
+        a = at.reshape(N, E, -1)
+        b = bt.reshape(N, E, -1)
+        B = a.shape[-1]
         a_deg = jnp.take(a, self._perm, axis=1)
         b_deg = jnp.take(b, self._perm, axis=1)
         # bg[n, i, k, :] = b_deg[n, (k-i) % E, :]
@@ -134,7 +138,29 @@ class TModelMul:
         prod = f.mul(a_deg[:, :, None, :], scaled)
         c_deg = f.sum(prod, axis=1)                # sum over i
         c = jnp.take(c_deg, self._inv_perm, axis=1)
-        return c.reshape(N * E, B)
+        return c.reshape((N * E,) + bshape)
+
+    def matvec_t(self, At, xt):
+        """NTT-form mat-vec in the transposed layout.
+
+        ``At [D, n, m]`` (matrix of NTT-form ring elements), ``xt
+        [D, m]`` or ``[D, W, m]`` (batched vectors) -> ``[D, n]`` /
+        ``[D, W, n]``: c[i] = sum_j A[i, j] * x[j]
+        (the reference's checked_mul_vec over RqNTT,
+        matrix.rs:148-188, with full-lane slot products)."""
+        f = self.f
+        assert not f.limbed, "use f.mul/f.sum directly for E == 1 limbed"
+        D, n, m = At.shape
+        if xt.ndim == 2:
+            prod = self.ntt_mul_t(
+                jnp.broadcast_to(At[:, None], (D, 1, n, m)),
+                jnp.broadcast_to(xt[:, None, None, :], (D, 1, n, m)))
+            return f.sum(prod, axis=-1)[:, 0]
+        W = xt.shape[1]
+        prod = self.ntt_mul_t(
+            jnp.broadcast_to(At[:, None], (D, W, n, m)),
+            jnp.broadcast_to(xt[:, :, None, :], (D, W, n, m)))
+        return f.sum(prod, axis=-1)
 
     def mul_t(self, at, bt):
         """Transposed coeff-form multiply: icrt(crt(a) *slot crt(b))."""
@@ -142,5 +168,4 @@ class TModelMul:
 
     # -- batch-leading convenience (pays both transposes) -----------------
     def mul(self, a, b):
-        batch = a.shape[:-1 - (1 if self.f.limbed else 0)]
-        return self.from_t(self.mul_t(self.to_t(a), self.to_t(b)), batch)
+        return self.from_t(self.mul_t(self.to_t(a), self.to_t(b)))

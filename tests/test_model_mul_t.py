@@ -34,12 +34,38 @@ def test_mul_t_matches_ring_pipeline(name):
     at, bt = tm.to_t(a), tm.to_t(b)
     fa = tm.crt_t(at)
     fb = tm.crt_t(bt)
-    assert ring.decode(tm.from_t(fa, (B,))).tolist() == \
+    assert ring.decode(tm.from_t(fa)).tolist() == \
         ring.decode(ring.crt(a)).tolist()
     prod = tm.ntt_mul_t(fa, fb)
-    assert ring.decode(tm.from_t(prod, (B,))).tolist() == \
+    assert ring.decode(tm.from_t(prod)).tolist() == \
         ring.decode(ring.ntt_mul(ring.crt(a), ring.crt(b))).tolist()
     del rng
+
+
+@pytest.mark.parametrize("name", ["goldilocks", "frog"])
+def test_matvec_t_matches_reference_matvec(name):
+    """Transposed NTT-form mat-vec == per-row ntt_mul + sum (the
+    checked_mul_vec contract, matrix.rs:148-188)."""
+    import random
+
+    ring = get_ring(name)
+    tm = TModelMul(ring)
+    f = ring.field
+    n, m, W = 3, 4, 2
+    A = ring.rand_ntt((n, m), random.Random(8))
+    x = ring.rand_ntt((W, m), random.Random(9))
+
+    want = f.sum(ring.ntt_mul(np.asarray(A)[None],
+                              np.asarray(x)[:, None]), axis=2)  # [W, n, D]
+
+    At = tm.to_t(A)                                         # [D, n, m]
+    xt = tm.to_t(x)                                         # [D, W, m]
+    got = tm.from_t(tm.matvec_t(At, xt))                    # [W, n, D]
+    assert ring.decode(got).tolist() == ring.decode(want).tolist()
+
+    # unbatched vector form
+    got1 = tm.from_t(tm.matvec_t(At, tm.to_t(x[0])))
+    assert ring.decode(got1).tolist() == ring.decode(want[0]).tolist()
 
 
 @pytest.mark.parametrize("name", ["goldilocks", "stark_prime"])
