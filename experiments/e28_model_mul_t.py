@@ -77,12 +77,64 @@ def run(name, B, lo, hi):
         B=B, lo=lo, hi=hi, t=tl, wall=round(time.time() - t0, 1))
 
 
+def run_commit():
+    """Ajtai commitment (8 x 1024 goldilocks NTT mat-vec), both layouts."""
+    import random
+
+    import jax.numpy as jnp
+
+    ring = get_ring("goldilocks")
+    f = ring.field
+    tm = TModelMul(ring)
+    n, L, W = 8, 1024, 16
+    rng = random.Random(11)
+    A = np.asarray(ring.rand_ntt((n, L), rng))
+    At = jax.device_put(jnp.moveaxis(jnp.asarray(A), -1, 0))  # [D, n, L]
+    Aj = jax.device_put(A)
+
+    def build_lead(depth):
+        s = jax.device_put(np.asarray(ring.rand_ntt((W, L), rng)))
+
+        def fn(s):
+            for _ in range(depth):
+                prod = ring.ntt_mul(Aj[None], s[:, None])   # [W,n,L,D]
+                c = f.sum(prod, axis=2)                     # [W,n,D]
+                s = ring.ntt_mul(s, jnp.broadcast_to(c[:, :1], s.shape))
+            return s
+        return jax.jit(fn), (s,)
+
+    def build_t(depth):
+        s = tm.to_t(jax.device_put(np.asarray(ring.rand_ntt((W, L), rng))))
+
+        def fn(s):
+            for _ in range(depth):
+                c = tm.matvec_t(At, s)                      # [D, W, n]
+                s = tm.ntt_mul_t(s, jnp.broadcast_to(
+                    c[:, :, :1], s.shape))
+            return s
+        return jax.jit(fn), (jax.device_put(s),)
+
+    for label, build in (("batch_trailing", build_t),
+                         ("batch_leading", build_lead)):
+        t0 = time.time()
+        rate, tt = chain_rate(build, W, lo=2, hi=34, reps=3)
+        put(bench="ajtai_commit", layout=label, rate=round(rate, 2),
+            W=W, t=tt, wall=round(time.time() - t0, 1))
+
+
 if __name__ == "__main__":
-    for name, B, lo, hi in (("goldilocks", 65536, 2, 34),
-                            ("frog", 65536, 2, 34),
-                            ("babybear", 16384, 2, 34),
-                            ("stark_prime", 4096, 2, 26)):
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "commit"):
         try:
-            run(name, B, lo, hi)
+            run_commit()
         except Exception as exc:  # noqa
-            put(model=name, error=f"{type(exc).__name__}: {exc}")
+            put(bench="ajtai_commit", error=f"{type(exc).__name__}: {exc}")
+    if which in ("all", "models"):
+        for name, B, lo, hi in (("goldilocks", 65536, 2, 34),
+                                ("frog", 65536, 2, 34),
+                                ("babybear", 16384, 2, 34),
+                                ("stark_prime", 4096, 2, 26)):
+            try:
+                run(name, B, lo, hi)
+            except Exception as exc:  # noqa
+                put(model=name, error=f"{type(exc).__name__}: {exc}")
