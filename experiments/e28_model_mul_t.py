@@ -77,6 +77,42 @@ def run(name, B, lo, hi):
         B=B, lo=lo, hi=hi, t=tl, wall=round(time.time() - t0, 1))
 
 
+def run_pointwise(name, B, lo, hi):
+    """NTT-form slotwise chain (the folding-prover hot loop on model
+    rings), both layouts."""
+    ring = get_ring(name)
+    tm = TModelMul(ring)
+    rng = np.random.default_rng(13)
+
+    def build_lead(depth):
+        a = rand_storage(ring, B, rng)
+        bs = [rand_storage(ring, B, rng) for _ in range(depth)]
+
+        def fn(x, bs):
+            for i in range(depth):
+                x = ring.ntt_mul(x, bs[i])
+            return x
+        return jax.jit(fn), (a, bs)
+
+    def build_t(depth):
+        a = jax.device_put(tm.to_t(rand_storage(ring, B, rng)))
+        bs = [jax.device_put(tm.to_t(rand_storage(ring, B, rng)))
+              for _ in range(depth)]
+
+        def fn(x, bs):
+            for i in range(depth):
+                x = tm.ntt_mul_t(x, bs[i])
+            return x
+        return jax.jit(fn), (a, bs)
+
+    for label, build in (("batch_trailing", build_t),
+                         ("batch_leading", build_lead)):
+        t0 = time.time()
+        rate, tt = chain_rate(build, B, lo=lo, hi=hi, reps=3)
+        put(bench="ntt_pointwise", model=name, layout=label,
+            rate=round(rate, 1), B=B, t=tt, wall=round(time.time() - t0, 1))
+
+
 def run_commit():
     """Ajtai commitment (8 x 1024 goldilocks NTT mat-vec), both layouts."""
     import random
@@ -138,3 +174,11 @@ if __name__ == "__main__":
                 run(name, B, lo, hi)
             except Exception as exc:  # noqa
                 put(model=name, error=f"{type(exc).__name__}: {exc}")
+    if which in ("all", "pointwise"):
+        for name, B, lo, hi in (("goldilocks", 65536, 4, 68),
+                                ("babybear", 16384, 4, 68)):
+            try:
+                run_pointwise(name, B, lo, hi)
+            except Exception as exc:  # noqa
+                put(bench="ntt_pointwise", model=name,
+                    error=f"{type(exc).__name__}: {exc}")
