@@ -301,12 +301,22 @@ def stark_pow2_rate(N=1 << 12, B=256):
 
 def model_rates():
     """Per-reference-model fused-CRT multiply throughput: in-module
-    depth-differenced chains of icrt(ntt_mul(crt(x), crt(y)))."""
+    depth-differenced chains of icrt(ntt_mul(crt(x), crt(y))).
+
+    Extension models (E > 1) run in the batch-trailing layout
+    (ops/model_mul.TModelMul): the slot product's elementwise ops get
+    the batch axis minor-most, measured +14-33% over batch-leading
+    (experiments/e28).  The limbed stark model keeps batch-leading
+    (its limb slicing loses in the transposed layout).  Each model's
+    path is gated bit-exact vs the integer spec before its rate is
+    recorded."""
     import jax
 
+    from stark_rings_tpu.ops.model_mul import TModelMul
     from stark_rings_tpu.rings import get_ring
 
     out = {}
+    layouts = {}
     # depth spans sized so the differenced signal (hi-lo chain steps)
     # is tens of ms — well above tunnel round-trip jitter.  Small-D
     # steps take ~0.5 ms at these batches, the limbed stark ~3 ms.
@@ -318,6 +328,8 @@ def model_rates():
             ring = get_ring(name)
             f = ring.field
             rng = np.random.default_rng(1)
+            use_t = ring.E > 1
+            tm = TModelMul(ring) if use_t else None
 
             def rand(nb):
                 if f.limbed:
@@ -330,7 +342,32 @@ def model_rates():
                 return f.from_canon(jax.device_put(
                     rng.integers(0, f.q, size=(nb, ring.D), dtype=dt_)))
 
+            # exactness gate vs the integer spec (host oracle) BEFORE
+            # any rate is recorded on this path
+            a0, b0 = rand(2), rand(2)
+            mul1 = (tm.mul if use_t else
+                    lambda x, y: ring.icrt(ring.ntt_mul(ring.crt(x),
+                                                        ring.crt(y))))
+            got = ring.decode(jax.jit(mul1)(a0, b0))
+            ai, bi = ring.decode(a0), ring.decode(b0)
+            for r in range(2):
+                want = ring.spec.coeff_mul([int(v) for v in ai[r]],
+                                           [int(v) for v in bi[r]])
+                assert [int(v) for v in got[r]] == \
+                    [int(v) % ring.q for v in want], \
+                    f"{name} model-mul mismatch vs spec"
+
             def build(depth):
+                if use_t:
+                    a = jax.device_put(tm.to_t(rand(B)))
+                    bs = [jax.device_put(tm.to_t(rand(B)))
+                          for _ in range(depth)]
+
+                    def fn(x, bs):
+                        for i in range(depth):
+                            x = tm.mul_t(x, bs[i])
+                        return x
+                    return jax.jit(fn), (a, bs)
                 a = rand(B)
                 bs = [rand(B) for _ in range(depth)]
 
@@ -343,11 +380,12 @@ def model_rates():
 
             rate, _ = chain_rate(build, B, lo=lo, hi=hi, reps=3)
             out[name] = round(rate, 1)
+            layouts[name] = "batch_trailing" if use_t else "batch_leading"
         except Exception as exc:  # noqa
             print(f"model {name} failed ({type(exc).__name__}: {exc})",
                   file=sys.stderr)
             out[name] = None
-    return out
+    return out, layouts
 
 
 def bigdeg_rates():
@@ -449,7 +487,7 @@ def main():
         return
 
     butterflies = ring_mults * 3 * (N // 2) * (N.bit_length() - 1)
-    models = model_rates()
+    models, model_layouts = model_rates()
     try:
         bb_rate = babybear_pow2_rate()
     except Exception as exc:  # noqa
@@ -490,6 +528,7 @@ def main():
         "ntt_form_pointwise_ring_mults_per_sec": round(pw_rate, 1),
         "pointwise_path": pw_path,
         "model_crt_mults_per_sec": models,
+        "model_crt_layouts": model_layouts,
         "babybear_deg2^12_ring_mults_per_sec": bb_rate,
         "stark_prime_deg2^12_ring_mults_per_sec": sk_rate,
         "goldilocks_bigdeg_ring_mults_per_sec": bigdeg,
