@@ -1,0 +1,157 @@
+"""Dense-MLE full evaluation as two exact int8 MXU contractions.
+
+A full evaluation of a 2^nv-entry multilinear table T at a point
+(r_0..r_{nv-1}) factors through the table reshaped as a matrix:
+
+    eval = u^T M v,   M = T.reshape(2^(nv-hl), 2^hl)   (row = HIGH bits)
+    v[c] = prod_{j<hl}  eq(bit_j(c), r_j)       (low-half eq vector)
+    u[r] = prod_{j>=hl} eq(bit_{j-hl}(r), r_j)  (high-half eq vector)
+
+because the little-endian index splits as i = r * 2^hl + c (the same
+index convention as the reference's DenseMultilinearExtension,
+/root/reference/crates/poly/src/mle/dense.rs:107-113).  Both
+contractions run EXACTLY on the MXU with the int8 digit-plane
+construction of ops/mxu2.py — but with *runtime* weights: the eq vector
+is prescaled by 2^(7l) mod q per data plane and digitized to signed
+8-bit planes on device (a few thousand modmuls), so the 2^nv-modmul
+lerp chain of the halving loop becomes one [K, P*R] @ [P*R, C] int8
+matmul plus epilogues.
+
+vs the one-kernel Pallas halving path (mle/pallas_fix.py): that path is
+VPU-bound at ~1 modmul per table entry; this one reads the table once
+through the MXU at ~90 int8 MACs per entry, which the MXU sustains far
+above the VPU modmul envelope.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import GOLDILOCKS as _f
+from ..ops.mxu2 import B_BITS, D_BITS, K_BUCKETS, P_PLANES
+
+__all__ = ["evaluate_goldilocks_mxu"]
+
+_Q = _f.q
+_MASK32 = np.uint64(0xFFFFFFFF)
+#: bucket bias: |V_k| <= P * 2^hl * 127 * 128; 2^28 covers 2^hl <= 1649
+_BIAS_BITS = 28
+
+
+def _eq_vector(pts):
+    """[2^h] little-endian eq vector: w[c] = prod_j eq(bit_j(c), r_j)."""
+    one = jnp.asarray(np.uint64(1))
+    w = jnp.ones((1,), dtype=jnp.uint64)
+    for r in pts:                 # each new point becomes the next-higher bit
+        r = jnp.asarray(r, dtype=jnp.uint64)
+        w = jnp.concatenate([_f.mul(w, _f.sub(one, r)), _f.mul(w, r)])
+    return w
+
+
+def _digitize_signed(x):
+    """canonical u64 [n] -> int8 [K, n] with x = sum_k d_k 2^(8k)."""
+    outs = []
+    carry = jnp.zeros_like(x)
+    cur = x
+    for _ in range(K_BUCKETS - 1):
+        m = (cur & np.uint64(0xFF)) + carry
+        ge = m >= np.uint64(128)
+        outs.append((m.astype(jnp.int32)
+                     - 256 * ge.astype(jnp.int32)).astype(jnp.int8))
+        carry = ge.astype(jnp.uint64)
+        cur = cur >> np.uint64(8)
+    outs.append((cur + carry).astype(jnp.int8))
+    return jnp.stack(outs)
+
+
+def _weights(u):
+    """canonical u64 [n] -> prescaled signed planes int8 [K, P*n].
+
+    Column block l holds digitize(u * 2^(7l) mod q) — the runtime
+    equivalent of PrescaledMat's host-side weight build (ops/mxu2.py).
+    """
+    blocks = []
+    for l in range(P_PLANES):
+        s = _f.mul(u, jnp.asarray(np.uint64(pow(2, D_BITS * l, _Q))))
+        blocks.append(_digitize_signed(s))
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _planes(x):
+    """u64 [R, C] -> int8 [P*R, C] of 7-bit digit planes (l-major)."""
+    return jnp.concatenate(
+        [((x >> np.uint64(D_BITS * l)) & np.uint64(0x7F)).astype(jnp.int8)
+         for l in range(P_PLANES)], axis=0)
+
+
+def _fold(V):
+    """int32 [K, C] buckets -> canonical u64 [C].
+
+    value = sum_k (V_k + 2^BIAS_BITS) 2^(8k) - BIAS (mod q); base-2^32
+    word accumulation exactly as PrescaledMat.fold but with the wider
+    bias this contraction length needs."""
+    bias = np.uint64(1 << _BIAS_BITS)
+    bias_val = sum((1 << _BIAS_BITS) << (B_BITS * k)
+                   for k in range(K_BUCKETS))
+    bias_mod = jnp.asarray(np.uint64(bias_val % _Q))
+    n_words = (B_BITS * (K_BUCKETS - 1) + _BIAS_BITS + 1) // 32 + 1
+    words = [None] * (n_words + 1)
+    for k in range(K_BUCKETS):
+        v = (V[k].astype(jnp.int64) + jnp.int64(bias)).astype(jnp.uint64)
+        r = B_BITS * k
+        j, sh = r >> 5, r & 31
+        contrib = v << np.uint64(sh)
+        lo = contrib & _MASK32
+        hi = contrib >> np.uint64(32)
+        words[j] = lo if words[j] is None else words[j] + lo
+        words[j + 1] = hi if words[j + 1] is None else words[j + 1] + hi
+    zero = jnp.zeros_like(words[0])
+    words = [w if w is not None else zero for w in words]
+    digits = []
+    carry = zero
+    for w in words:
+        t = w + carry
+        digits.append(t & _MASK32)
+        carry = t >> np.uint64(32)
+    digits.append(carry)
+    while len(digits) < 4:
+        digits.append(zero)
+    A = digits[0] | (digits[1] << np.uint64(32))
+    Bw = digits[2] | (digits[3] << np.uint64(32))
+    acc = _f._reduce128(Bw, A)
+    return _f.sub(acc, bias_mod)
+
+
+def evaluate_goldilocks_mxu(evals, pts):
+    """Full evaluation of a dense Goldilocks MLE at one point.
+
+    ``evals``: canonical u64 [2^nv]; ``pts``: nv scalars (host or
+    traced).  Returns the canonical u64 scalar; equals
+    DenseMLE.evaluate / evaluate_goldilocks_pallas exactly.
+    """
+    nv = len(pts)
+    assert evals.shape == (1 << nv,)
+    if nv < 4:
+        # tiny tables: direct eq inner product (the int8 GEMM this size
+        # also trips an XLA CPU lowering bug)
+        w = _eq_vector(pts)
+        return _f.sum(_f.mul(evals, w), axis=0)
+    hl = nv // 2
+    C = 1 << hl
+    R = (1 << nv) // C
+    assert P_PLANES * R * 127 * 128 < (1 << _BIAS_BITS), \
+        "bucket bias too small for this contraction length"
+    M = evals.reshape(R, C)
+    u = _eq_vector(pts[hl:])       # [R] high-half eq
+    v = _eq_vector(pts[:hl])       # [C] low-half eq
+    # y[c] = sum_r u[r] M[r, c]  — contraction over rows, exact
+    Vb = jax.lax.dot(_weights(u), _planes(M),
+                     preferred_element_type=jnp.int32)
+    y = _fold(Vb)                  # [C]
+    # eval = sum_c y[c] v[c]
+    Vb2 = jax.lax.dot(_weights(v), _planes(y[:, None]),
+                      preferred_element_type=jnp.int32)
+    return _fold(Vb2)[0]

@@ -1,0 +1,40 @@
+"""MXU two-contraction dense-MLE evaluation (mle/mxu_eval.py) equals
+DenseMLE.evaluate (the reference's fix_variables halving loop,
+dense.rs:107-113) element-exactly."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stark_rings_tpu.fields import GOLDILOCKS as f
+from stark_rings_tpu.linalg import FieldElems
+from stark_rings_tpu.mle import DenseMLE
+from stark_rings_tpu.mle.mxu_eval import evaluate_goldilocks_mxu
+
+
+@pytest.mark.parametrize("nv", [2, 3, 6, 11, 14])
+def test_mxu_eval_matches_dense(nv):
+    fe = FieldElems(f)
+    rng = np.random.default_rng(nv)
+    r = random.Random(nv)
+    ev = jnp.asarray(rng.integers(0, f.q, size=(1 << nv,), dtype=np.uint64))
+    pts = [np.uint64(r.randrange(f.q)) for _ in range(nv)]
+    want = int(np.asarray(DenseMLE(fe, nv, ev).evaluate(list(pts))))
+    got = int(np.asarray(jax.jit(
+        lambda e: evaluate_goldilocks_mxu(e, pts))(ev)))
+    assert want == got
+
+
+def test_mxu_eval_boolean_point_reads_table():
+    """At a boolean point the evaluation must be the table entry."""
+    nv = 6
+    rng = np.random.default_rng(0)
+    ev = jnp.asarray(rng.integers(0, f.q, size=(1 << nv,), dtype=np.uint64))
+    idx = 0b101101
+    pts = [np.uint64((idx >> j) & 1) for j in range(nv)]
+    got = int(np.asarray(evaluate_goldilocks_mxu(ev, pts)))
+    assert got == int(np.asarray(ev[idx]))
