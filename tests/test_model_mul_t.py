@@ -68,6 +68,34 @@ def test_matvec_t_matches_reference_matvec(name):
     assert ring.decode(got1).tolist() == ring.decode(want[0]).tolist()
 
 
+@pytest.mark.parametrize("name", ["goldilocks", "babybear", "frog"])
+def test_mul_t_volume_vs_pipeline(name):
+    """10^4-element batch through mul_t in ONE call equals the
+    batch-leading pipeline (reference-volume consistency, the shape of
+    goldilocks/ntt.rs:801-806)."""
+    import jax
+
+    ring = get_ring(name)
+    f = ring.field
+    rng = np.random.default_rng(hash(name) & 0xFFFF)
+    n = 10_000
+    dt = np.uint32 if f.dtype == np.uint32 else np.uint64
+    a = f.from_canon(jax.device_put(
+        rng.integers(0, f.q, size=(n, ring.D), dtype=dt)))
+    b = f.from_canon(jax.device_put(
+        rng.integers(0, f.q, size=(n, ring.D), dtype=dt)))
+    tm = TModelMul(ring)
+
+    @jax.jit
+    def both(x, y):
+        lead = ring.icrt(ring.ntt_mul(ring.crt(x), ring.crt(y)))
+        trail = tm.from_t(tm.mul_t(tm.to_t(x), tm.to_t(y)))
+        return lead, trail
+
+    lead, trail = both(a, b)
+    assert (np.asarray(lead) == np.asarray(trail)).all(), name
+
+
 @pytest.mark.parametrize("name", ["goldilocks", "stark_prime"])
 def test_mul_t_spec_oracle(name):
     """One element through the integer spec's coeff-form product."""
