@@ -445,13 +445,17 @@ def bigdeg_rates():
 
 
 def mle20_eval_rate():
-    """20-var dense-MLE full evaluation via the one-kernel Pallas path
-    (mle/pallas_fix.py) — the BASELINE config-4 hot loop, 118x the XLA
-    halving loop (PERF_NOTES)."""
+    """20-var dense-MLE full evaluation via the MXU two-contraction path
+    (mle/mxu_eval.py: eval = u^T M v with int8 digit-plane dots) — the
+    BASELINE config-4 hot loop.  Measured 22.8k evals/s vs 9.7k for the
+    one-kernel Pallas halving path and ~0.2k for the XLA halving loop
+    (e30); gated exact vs the Pallas path on chip before the rate is
+    recorded."""
     import jax
     import jax.numpy as jnp
 
     from stark_rings_tpu.fields import GOLDILOCKS as f
+    from stark_rings_tpu.mle.mxu_eval import evaluate_goldilocks_mxu
     from stark_rings_tpu.mle.pallas_fix import evaluate_goldilocks_pallas
 
     nv = 20
@@ -459,13 +463,21 @@ def mle20_eval_rate():
     pts = [np.uint64(int(x)) for x in
            rng.integers(0, f.q, size=(nv,), dtype=np.uint64)]
 
+    ev0 = jax.device_put(rng.integers(0, f.q, size=(1 << nv,),
+                                      dtype=np.uint64))
+    a = int(jax.device_get(jax.jit(
+        lambda e: evaluate_goldilocks_mxu(e, pts))(ev0)))
+    b = int(jax.device_get(jax.jit(
+        lambda e: evaluate_goldilocks_pallas(e, pts))(ev0)))
+    assert a == b, "mxu MLE eval mismatch vs pallas path"
+
     def build(depth):
         ev = jax.device_put(rng.integers(0, f.q, size=(1 << nv,),
                                          dtype=np.uint64))
 
         def fn(e):
             for _ in range(depth):
-                v = evaluate_goldilocks_pallas(e, pts)
+                v = evaluate_goldilocks_mxu(e, pts)
                 e = f.add(e, jnp.broadcast_to(v, e.shape))
             return e
         return jax.jit(fn), (ev,)
@@ -532,7 +544,8 @@ def main():
         "babybear_deg2^12_ring_mults_per_sec": bb_rate,
         "stark_prime_deg2^12_ring_mults_per_sec": sk_rate,
         "goldilocks_bigdeg_ring_mults_per_sec": bigdeg,
-        "mle20_full_evaluate_per_sec_pallas": mle_rate,
+        "mle20_full_evaluate_per_sec": mle_rate,
+        "mle20_eval_path": "mxu_two_contractions",
         "batch": pb,
         "device": str(__import__("jax").devices()[0]),
     }))

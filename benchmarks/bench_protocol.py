@@ -182,6 +182,28 @@ def main():
         print(f"mle pallas bench failed: {exc}", file=sys.stderr)
         out["mle20_full_evaluate_pallas_per_s"] = None
 
+    # ---- same, via the MXU two-contraction path (mle/mxu_eval) ---------
+    from stark_rings_tpu.mle.mxu_eval import evaluate_goldilocks_mxu
+
+    def build_mle_mxu(depth):
+        evals = jax.device_put(nrng.integers(0, f.q, size=(1 << nv,),
+                                             dtype=np.uint64))
+        pts = [np.uint64(rng.randrange(f.q)) for _ in range(nv)]
+
+        def fn(ev):
+            for _ in range(depth):
+                v = evaluate_goldilocks_mxu(ev, pts)
+                ev = f.add(ev, jnp.broadcast_to(v, ev.shape))
+            return ev
+        return jax.jit(fn), (evals,)
+
+    try:
+        rate, _ = chain_rate(build_mle_mxu, 1, lo=2, hi=130, reps=3)
+        out["mle20_full_evaluate_mxu_per_s"] = round(rate, 2)
+    except Exception as exc:  # noqa
+        print(f"mle mxu bench failed: {exc}", file=sys.stderr)
+        out["mle20_full_evaluate_mxu_per_s"] = None
+
     line = json.dumps(out)
     print(line)
     path = pathlib.Path(__file__).parent / "PROTO_r02.json"
