@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from ..fields import GOLDILOCKS as _f
 from ..ops.mxu2 import B_BITS, D_BITS, K_BUCKETS, P_PLANES
 
-__all__ = ["evaluate_goldilocks_mxu"]
+__all__ = ["evaluate_goldilocks_mxu", "fix_last_variables_mxu"]
 
 _Q = _f.q
 _MASK32 = np.uint64(0xFFFFFFFF)
@@ -123,6 +123,38 @@ def _fold(V):
     Bw = digits[2] | (digits[3] << np.uint64(32))
     acc = _f._reduce128(Bw, A)
     return _f.sub(acc, bias_mod)
+
+
+def fix_last_variables_mxu(evals, pts_high):
+    """Fix the HIGHEST len(pts_high) variables in one MXU contraction.
+
+    ``evals``: canonical u64 [2^nv]; returns the [2^(nv-h)] table of the
+    remaining low variables — equals the reference's fix_last_variables
+    (multilinear_polynomial.rs:227-286) restricted to the last h
+    variables, computed as u^T M instead of h halving passes.
+    """
+    h = len(pts_high)
+    n = evals.shape[0]
+    R = 1 << h
+    C = n // R
+    assert R * C == n
+    if R < 8:
+        # one or two halving passes beat the matmul AND the tiny-K int8
+        # GEMM trips an XLA CPU lowering bug (see evaluate fallback)
+        ev = evals
+        for r in reversed(list(pts_high)):
+            half = ev.shape[0] // 2
+            left, right = ev[:half], ev[half:]
+            ev = _f.add(left, _f.mul(jnp.asarray(r, dtype=jnp.uint64),
+                                     _f.sub(right, left)))
+        return ev
+    assert P_PLANES * R * 127 * 128 < (1 << _BIAS_BITS), \
+        "bucket bias too small for this contraction length"
+    M = evals.reshape(R, C)
+    u = _eq_vector(pts_high)
+    V = jax.lax.dot(_weights(u), _planes(M),
+                    preferred_element_type=jnp.int32)
+    return _fold(V)
 
 
 def evaluate_goldilocks_mxu(evals, pts):

@@ -29,6 +29,21 @@ def test_mxu_eval_matches_dense(nv):
     assert want == got
 
 
+@pytest.mark.parametrize("nv,h", [(8, 3), (11, 6), (12, 1)])
+def test_fix_last_variables_mxu_matches_dense(nv, h):
+    from stark_rings_tpu.mle.mxu_eval import fix_last_variables_mxu
+
+    fe = FieldElems(f)
+    rng = np.random.default_rng(nv * 31 + h)
+    r = random.Random(nv * 31 + h)
+    ev = jnp.asarray(rng.integers(0, f.q, size=(1 << nv,), dtype=np.uint64))
+    pts = [np.uint64(r.randrange(f.q)) for _ in range(h)]
+    want = np.asarray(DenseMLE(fe, nv, ev).fix_last_variables(pts).evals)
+    got = np.asarray(jax.jit(
+        lambda e: fix_last_variables_mxu(e, pts))(ev))
+    assert (want == got).all()
+
+
 def test_mxu_eval_boolean_point_reads_table():
     """At a boolean point the evaluation must be the table entry."""
     nv = 6
