@@ -204,6 +204,37 @@ def main():
         print(f"mle mxu bench failed: {exc}", file=sys.stderr)
         out["mle20_full_evaluate_mxu_per_s"] = None
 
+    # ---- full 20-var sumcheck prover arithmetic (one jit module) -------
+    from stark_rings_tpu.mle.sumcheck import sumcheck_prove_with_challenges
+
+    nv_sc = 20
+
+    def build_sumcheck(depth):
+        G0 = jax.device_put(nrng.integers(0, f.q, size=(1 << nv_sc,),
+                                          dtype=np.uint64))
+        H0 = jax.device_put(nrng.integers(0, f.q, size=(1 << nv_sc,),
+                                          dtype=np.uint64))
+        chals = [jax.device_put(np.uint64(rng.randrange(f.q)))
+                 for _ in range(nv_sc)]
+
+        def fn(G, H):
+            for _ in range(depth):
+                msgs, gv, hv = sumcheck_prove_with_challenges(
+                    f, G, H, chals)
+                # dependent re-entry: perturb the tables by the outputs
+                G = f.add(G, jnp.broadcast_to(gv, G.shape))
+                H = f.add(H, jnp.broadcast_to(f.add(hv, msgs[0, 0]),
+                                              H.shape))
+            return G
+        return jax.jit(fn), (G0, H0)
+
+    try:
+        rate, _ = chain_rate(build_sumcheck, 1, lo=2, hi=34, reps=3)
+        out["sumcheck20_product_proofs_per_s"] = round(rate, 2)
+    except Exception as exc:  # noqa
+        print(f"sumcheck bench failed: {exc}", file=sys.stderr)
+        out["sumcheck20_product_proofs_per_s"] = None
+
     line = json.dumps(out)
     print(line)
     path = pathlib.Path(__file__).parent / "PROTO_r02.json"

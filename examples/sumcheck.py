@@ -50,26 +50,24 @@ def _interp_at(f, p0, p1, p2, r):
 
 
 def prove(g_evals, h_evals, transcript):
-    """Runs the prover; returns (claimed sum, round messages, challenges)."""
+    """Runs the prover; returns (claimed sum, round messages, challenges).
+
+    Round arithmetic comes from the library
+    (stark_rings_tpu.mle.sumcheck); this example drives it
+    interactively against a real Fiat-Shamir transcript."""
+    from stark_rings_tpu.mle.sumcheck import sumcheck_fold, sumcheck_round
+
     f = F
     S = f.sum(f.mul(g_evals, h_evals), axis=0)
     transcript.absorb(b"sum", f, S)
     G, H = g_evals, h_evals
     msgs, chals = [], []
     for _ in range(N_VARS):
-        G0, G1 = G[0::2], G[1::2]          # x_0 = 0 / 1 halves
-        H0, H1 = H[0::2], H[1::2]
-        dG, dH = f.sub(G1, G0), f.sub(H1, H0)
-        p0 = f.sum(f.mul(G0, H0), axis=0)
-        p1 = f.sum(f.mul(G1, H1), axis=0)
-        G2 = f.add(G1, dG)                 # g at t=2
-        H2 = f.add(H1, dH)
-        p2 = f.sum(f.mul(G2, H2), axis=0)
+        p0, p1, p2, G0, H0, dG, dH = sumcheck_round(f, G, H)
         for lbl, p in ((b"p0", p0), (b"p1", p1), (b"p2", p2)):
             transcript.absorb(lbl, f, p)
         (r,) = transcript.squeeze_field_elements(f, 1)
-        G = f.add(G0, f.mul(r, dG))
-        H = f.add(H0, f.mul(r, dH))
+        G, H = sumcheck_fold(f, r, G0, H0, dG, dH)
         msgs.append((p0, p1, p2))
         chals.append(r)
     return S, msgs, chals
