@@ -37,8 +37,15 @@ __all__ = ["evaluate_goldilocks_mxu", "fix_last_variables_mxu"]
 
 _Q = _f.q
 _MASK32 = np.uint64(0xFFFFFFFF)
-#: bucket bias: |V_k| <= P * 2^hl * 127 * 128; 2^28 covers 2^hl <= 1649
-_BIAS_BITS = 28
+
+
+def _bias_bits(R):
+    """Bucket bias exponent for contraction length R: the int8 dot's
+    buckets satisfy |V_k| <= P * R * 127 * 128, so 2^bits must exceed
+    that; the int32 accumulator bound caps R at 2^13 (tables to 2^26)."""
+    assert P_PLANES * R * 127 * 128 < 2**31, \
+        "contraction too long for int32 bucket accumulation"
+    return (P_PLANES * R * 127 * 128).bit_length()
 
 
 def _eq_vector(pts):
@@ -87,17 +94,17 @@ def _planes(x):
          for l in range(P_PLANES)], axis=0)
 
 
-def _fold(V):
+def _fold(V, bias_bits):
     """int32 [K, C] buckets -> canonical u64 [C].
 
-    value = sum_k (V_k + 2^BIAS_BITS) 2^(8k) - BIAS (mod q); base-2^32
+    value = sum_k (V_k + 2^bias_bits) 2^(8k) - BIAS (mod q); base-2^32
     word accumulation exactly as PrescaledMat.fold but with the wider
     bias this contraction length needs."""
-    bias = np.uint64(1 << _BIAS_BITS)
-    bias_val = sum((1 << _BIAS_BITS) << (B_BITS * k)
+    bias = np.uint64(1 << bias_bits)
+    bias_val = sum((1 << bias_bits) << (B_BITS * k)
                    for k in range(K_BUCKETS))
     bias_mod = jnp.asarray(np.uint64(bias_val % _Q))
-    n_words = (B_BITS * (K_BUCKETS - 1) + _BIAS_BITS + 1) // 32 + 1
+    n_words = (B_BITS * (K_BUCKETS - 1) + bias_bits + 1) // 32 + 1
     words = [None] * (n_words + 1)
     for k in range(K_BUCKETS):
         v = (V[k].astype(jnp.int64) + jnp.int64(bias)).astype(jnp.uint64)
@@ -148,13 +155,11 @@ def fix_last_variables_mxu(evals, pts_high):
             ev = _f.add(left, _f.mul(jnp.asarray(r, dtype=jnp.uint64),
                                      _f.sub(right, left)))
         return ev
-    assert P_PLANES * R * 127 * 128 < (1 << _BIAS_BITS), \
-        "bucket bias too small for this contraction length"
     M = evals.reshape(R, C)
     u = _eq_vector(pts_high)
     V = jax.lax.dot(_weights(u), _planes(M),
                     preferred_element_type=jnp.int32)
-    return _fold(V)
+    return _fold(V, _bias_bits(R))
 
 
 def evaluate_goldilocks_mxu(evals, pts):
@@ -174,16 +179,14 @@ def evaluate_goldilocks_mxu(evals, pts):
     hl = nv // 2
     C = 1 << hl
     R = (1 << nv) // C
-    assert P_PLANES * R * 127 * 128 < (1 << _BIAS_BITS), \
-        "bucket bias too small for this contraction length"
     M = evals.reshape(R, C)
     u = _eq_vector(pts[hl:])       # [R] high-half eq
     v = _eq_vector(pts[:hl])       # [C] low-half eq
     # y[c] = sum_r u[r] M[r, c]  — contraction over rows, exact
     Vb = jax.lax.dot(_weights(u), _planes(M),
                      preferred_element_type=jnp.int32)
-    y = _fold(Vb)                  # [C]
+    y = _fold(Vb, _bias_bits(R))   # [C]
     # eval = sum_c y[c] v[c]
     Vb2 = jax.lax.dot(_weights(v), _planes(y[:, None]),
                       preferred_element_type=jnp.int32)
-    return _fold(Vb2)[0]
+    return _fold(Vb2, _bias_bits(C))[0]
