@@ -94,7 +94,18 @@ class PowerRing:
         if cache is None:
             cache = self._mxu_ctx = {}
         if self.field.name == "babybear":
-            # 31-bit modulus: all-XLA REDC fold, no Pallas epilogue needed
+            import jax as _jax
+
+            if pallas and _jax.default_backend() != "cpu":
+                # DMA-looped Pallas fold epilogues: +21% over the XLA
+                # REDC folds on chip (e32), bit-exact.  Mosaic kernels
+                # need a TPU backend; on CPU the XLA-fold variant is
+                # the real path (interpret mode is test-only).
+                if "bb_pallas" not in cache:
+                    from ..ops.pallas_fold_bb import MxuBBPallasNTT
+
+                    cache["bb_pallas"] = MxuBBPallasNTT(self.D)
+                return cache["bb_pallas"]
             if "bb" not in cache:
                 from ..ops.mxu_bb import MxuBBNTT
 
