@@ -52,6 +52,14 @@ D_BITS = 7
 K_BUCKETS = 9   # signed 8-bit weight digits covering [0, q)
 B_BITS = 8
 
+# unsigned scheme (e34: the v5e MXU runs u8 x u8 -> int32 dots at ~197
+# TOPS, 94% of the s8 rate): 8 unsigned 8-bit data planes x 8 unsigned
+# 8-bit weight digits = 64 MACs per 64-bit modular MAC instead of 90,
+# and every bucket is NONNEGATIVE so the fold needs no bias handling.
+P_PLANES_U8 = 8
+D_BITS_U8 = 8
+K_BUCKETS_U8 = 8
+
 
 def _digitize_signed_host(v: int, k: int = K_BUCKETS) -> list:
     """v in [0, 2^64) -> k signed digits d_j in [-128, 127], top in {0,1},
@@ -77,12 +85,34 @@ class PrescaledMat:
     """Constant [R, C] Goldilocks matrix with pre-scaled int8 digit planes.
 
     apply(x): x u64 [C, cols] -> M @ x mod q, u64 [R, cols], exact.
+
+    unsigned=True selects the u8 x u8 scheme (e34): 8 unsigned 8-bit
+    data planes, 8 unsigned 8-bit weight digits per plane — 64 MACs per
+    modular MAC (vs 90 signed) and bias-free folds.
     """
 
-    def __init__(self, m_ints):
+    def __init__(self, m_ints, unsigned: bool = True):
         m = np.asarray(m_ints, dtype=object)
         R, C = m.shape
         self.R, self.C = R, C
+        self.unsigned = unsigned
+        self.K = K_BUCKETS_U8 if unsigned else K_BUCKETS
+        self.P = P_PLANES_U8 if unsigned else P_PLANES
+        self.d_bits = D_BITS_U8 if unsigned else D_BITS
+        if unsigned:
+            # int32 accumulation bound: P*C products of <= 255*255
+            assert P_PLANES_U8 * C * 255 * 255 < 2**31
+            big = np.zeros((K_BUCKETS_U8 * R, P_PLANES_U8 * C),
+                           dtype=np.uint8)
+            for l in range(P_PLANES_U8):
+                scale = pow(2, D_BITS_U8 * l, _Q)
+                v = ((m * scale) % _Q).astype(np.uint64)
+                for k in range(K_BUCKETS_U8):
+                    big[k * R:(k + 1) * R, l * C:(l + 1) * C] = (
+                        (v >> np.uint64(8 * k))
+                        & np.uint64(0xFF)).astype(np.uint8)
+            self.big = big
+            return
         # int32 accumulation bound: P*C products of |.| <= 128*127
         assert P_PLANES * C * 128 * 127 < 2**31
         big = np.zeros((K_BUCKETS * R, P_PLANES * C), dtype=np.int8)
@@ -108,7 +138,12 @@ class PrescaledMat:
 
     # -- device helpers ---------------------------------------------------
     def planes(self, x):
-        """u64 [C, cols] -> int8 [P*C, cols] of 7-bit digits."""
+        """u64 [C, cols] -> int8/uint8 [P*C, cols] of 7/8-bit digits."""
+        if self.unsigned:
+            outs = [((x >> np.uint64(D_BITS_U8 * l))
+                     & np.uint64(0xFF)).astype(jnp.uint8)
+                    for l in range(P_PLANES_U8)]
+            return jnp.concatenate(outs, axis=0)
         outs = []
         for l in range(P_PLANES):
             outs.append(((x >> np.uint64(D_BITS * l))
@@ -118,23 +153,29 @@ class PrescaledMat:
     def fold(self, V):
         """int32 [K*R, cols] bucket planes -> canonical u64 [R, cols].
 
-        value = sum_k V_k 2^(8k) with V_k signed; bias each bucket by
+        value = sum_k V_k 2^(8k).  Signed scheme: bias each bucket by
         2^26 (making the packing unsigned) and subtract the constant
-        bias afterwards mod q.
+        bias afterwards mod q.  Unsigned scheme: buckets are already
+        nonnegative — no bias.
         """
-        R = self.R
-        BIAS = np.uint64(1 << 26)
-        bias_val = sum((1 << 26) << (B_BITS * k) for k in range(K_BUCKETS))
-        bias_mod = jnp.asarray(np.uint64(bias_val % _Q))
+        R, K = self.R, self.K
+        if self.unsigned:
+            bias_mod = None
+        else:
+            bias_val = sum((1 << 26) << (B_BITS * k) for k in range(K))
+            bias_mod = jnp.asarray(np.uint64(bias_val % _Q))
         # base-2^32 words (held in u64; each accumulated word < 2^32*small)
-        n_words = (B_BITS * (K_BUCKETS - 1) + 27) // 32 + 1
+        n_words = (B_BITS * (K - 1) + 31) // 32 + 1
         words = [None] * (n_words + 1)
-        for k in range(K_BUCKETS):
-            v = (V[k * R:(k + 1) * R].astype(jnp.int64)
-                 + jnp.int64(1 << 26)).astype(jnp.uint64)
+        for k in range(K):
+            if self.unsigned:
+                v = V[k * R:(k + 1) * R].astype(jnp.uint64)
+            else:
+                v = (V[k * R:(k + 1) * R].astype(jnp.int64)
+                     + jnp.int64(1 << 26)).astype(jnp.uint64)
             r = B_BITS * k
             j, sh = r >> 5, r & 31
-            contrib = v << np.uint64(sh)         # < 2^(27+31) fits u64
+            contrib = v << np.uint64(sh)         # < 2^(31+24) fits u64
             lo = contrib & _MASK32
             hi = contrib >> np.uint64(32)
             words[j] = lo if words[j] is None else words[j] + lo
@@ -155,6 +196,8 @@ class PrescaledMat:
         A = digits[0] | (digits[1] << np.uint64(32))
         Bw = digits[2] | (digits[3] << np.uint64(32))
         acc = _f._reduce128(Bw, A)
+        if bias_mod is None:
+            return acc
         return _f.sub(acc, bias_mod)
 
     def dot(self, x, big=None):
@@ -177,8 +220,10 @@ class Mxu2NTT:
 
     F = _f  # the field whose modulus the twiddle/pointwise muls use
 
-    def __init__(self, N: int = 1 << 16, n1: int | None = None):
+    def __init__(self, N: int = 1 << 16, n1: int | None = None,
+                 unsigned: bool = True):
         self.N = N
+        self.unsigned = unsigned
         if n1 is None:
             logn = N.bit_length() - 1
             n1 = 1 << (logn // 2)
@@ -208,10 +253,10 @@ class Mxu2NTT:
         # W1i[n1, k1] = om1^(-k1 n1) * psi^(-n1 N2) / N
         W1i = [[pow(om1_i, j * k1, q) * pow(psi_i, j * N2, q)
                 * n_inv % q for k1 in range(N1)] for j in range(N1)]
-        self.mat1 = PrescaledMat(W1)
-        self.mat2 = PrescaledMat(W2)
-        self.mat2i = PrescaledMat(W2i)
-        self.mat1i = PrescaledMat(W1i)
+        self.mat1 = PrescaledMat(W1, unsigned)
+        self.mat2 = PrescaledMat(W2, unsigned)
+        self.mat2i = PrescaledMat(W2i, unsigned)
+        self.mat1i = PrescaledMat(W1i, unsigned)
 
         # mid twiddle T[k1, n2] = psi^(n2) * om^(k1 n2)
         tw = np.empty((N1, N2), dtype=np.uint64)

@@ -39,6 +39,13 @@ D_BITS = 7
 K_BUCKETS = 5   # signed 8-bit weight digits covering [0, 2^32)
 B_BITS = 8
 
+# unsigned scheme (e34: u8 x u8 dots run at ~94% of the s8 MXU rate):
+# 4 unsigned 8-bit data planes x 4 unsigned 8-bit weight digits = 16
+# MACs per modular MAC (vs 25 signed) and bias-free folds.
+P_PLANES_U8 = 4
+D_BITS_U8 = 8
+K_BUCKETS_U8 = 4
+
 _BIAS_VAL = sum((1 << 26) << (B_BITS * k) for k in range(K_BUCKETS))
 #: (BIAS * 2^-32) mod q — subtracted after the REDC fold
 _BIAS_RED = np.uint32(_BIAS_VAL * pow(1 << 32, -1, _Q) % _Q)
@@ -50,10 +57,27 @@ class BBPrescaledMat:
     apply(x): x u32 [C, cols] -> M @ x mod q, u32 [R, cols], exact.
     """
 
-    def __init__(self, m_ints):
+    def __init__(self, m_ints, unsigned: bool = True):
         m = np.asarray(m_ints, dtype=object)
         R, C = m.shape
         self.R, self.C = R, C
+        self.unsigned = unsigned
+        self.K = K_BUCKETS_U8 if unsigned else K_BUCKETS
+        if unsigned:
+            assert P_PLANES_U8 * C * 255 * 255 < 2**31
+            big = np.zeros((K_BUCKETS_U8 * R, P_PLANES_U8 * C),
+                           dtype=np.uint8)
+            mi = np.array([[int(v) for v in row] for row in m],
+                          dtype=np.uint64)
+            for l in range(P_PLANES_U8):
+                scale = (1 << (D_BITS_U8 * l)) * _R32 % _Q
+                v = (mi * scale) % _Q
+                for k in range(K_BUCKETS_U8):
+                    big[k * R:(k + 1) * R, l * C:(l + 1) * C] = (
+                        (v >> np.uint64(8 * k))
+                        & np.uint64(0xFF)).astype(np.uint8)
+            self.big = big
+            return
         assert P_PLANES * C * 128 * 127 < 2**31
         big = np.zeros((K_BUCKETS * R, P_PLANES * C), dtype=np.int8)
         for l in range(P_PLANES):
@@ -67,7 +91,12 @@ class BBPrescaledMat:
         self.big = big  # numpy: safe to build inside a trace
 
     def planes(self, x):
-        """u32 [C, cols] -> int8 [P*C, cols] of 7-bit digits."""
+        """u32 [C, cols] -> int8/uint8 [P*C, cols] of 7/8-bit digits."""
+        if self.unsigned:
+            return jnp.concatenate(
+                [((x >> np.uint32(D_BITS_U8 * l))
+                  & np.uint32(0xFF)).astype(jnp.uint8)
+                 for l in range(P_PLANES_U8)], axis=0)
         outs = []
         for l in range(P_PLANES):
             outs.append(((x >> np.uint32(D_BITS * l))
@@ -82,16 +111,19 @@ class BBPrescaledMat:
         image is subtracted mod q."""
         R = self.R
         acc = jnp.zeros((R,) + V.shape[1:], dtype=jnp.uint64)
-        for k in range(K_BUCKETS):
-            b = (jax.lax.bitcast_convert_type(V[k * R:(k + 1) * R],
-                                              jnp.uint32)
-                 + np.uint32(1 << 26))          # wraps to V_k + 2^26
+        for k in range(self.K):
+            b = jax.lax.bitcast_convert_type(V[k * R:(k + 1) * R],
+                                             jnp.uint32)
+            if not self.unsigned:
+                b = b + np.uint32(1 << 26)      # wraps to V_k + 2^26
             acc = acc + (b.astype(jnp.uint64) << np.uint64(B_BITS * k))
         # REDC: t = (acc + ((acc mod 2^32) * qinv mod 2^32) * q) >> 32
         m = (acc * np.uint64(_QINV32)) & np.uint64(0xFFFFFFFF)
         t = (acc + m * np.uint64(_Q)) >> np.uint64(32)
         t = jnp.where(t >= np.uint64(_Q), t - np.uint64(_Q), t)
         out = t.astype(jnp.uint32)
+        if self.unsigned:
+            return out
         # subtract the bias image mod q
         lt = out < _BIAS_RED
         return jnp.where(lt, out + np.uint32(_Q) - _BIAS_RED,
@@ -111,8 +143,10 @@ class MxuBBNTT(Mxu2NTT):
 
     F = _bb
 
-    def __init__(self, N: int = 1 << 12, n1: int | None = None):
+    def __init__(self, N: int = 1 << 12, n1: int | None = None,
+                 unsigned: bool = True):
         self.N = N
+        self.unsigned = unsigned
         if n1 is None:
             logn = N.bit_length() - 1
             n1 = 1 << (logn // 2)
@@ -139,10 +173,10 @@ class MxuBBNTT(Mxu2NTT):
                for j in range(N2)]
         W1i = [[pow(om1_i, j * k1, q) * pow(psi_i, j * N2, q)
                 * n_inv % q for k1 in range(N1)] for j in range(N1)]
-        self.mat1 = BBPrescaledMat(W1)
-        self.mat2 = BBPrescaledMat(W2)
-        self.mat2i = BBPrescaledMat(W2i)
-        self.mat1i = BBPrescaledMat(W1i)
+        self.mat1 = BBPrescaledMat(W1, unsigned)
+        self.mat2 = BBPrescaledMat(W2, unsigned)
+        self.mat2i = BBPrescaledMat(W2i, unsigned)
+        self.mat1i = BBPrescaledMat(W1i, unsigned)
 
         # The pipeline runs on MONTGOMERY STORAGE end-to-end: the digit
         # matrices are exact linear maps (domain-preserving) and the

@@ -40,6 +40,10 @@ B_BITS = 8
 P64 = 10     # 7-bit planes covering 64 bits
 K64 = 9      # signed 8-bit buckets covering [0, 2^64)
 
+# unsigned u8 x u8 scheme (e34): 8 planes x 8 buckets, bias-free folds
+P64_U8 = 8
+K64_U8 = 8
+
 
 class Mont64PrescaledMat:
     """[R, C] constant matrix over a 64-bit Montgomery field (frog).
@@ -49,15 +53,35 @@ class Mont64PrescaledMat:
     REDC(value) = (value + (lo * q' mod 2^64) * q) / 2^64 < 2q.
     """
 
-    def __init__(self, field: Field, m_ints):
+    def __init__(self, field: Field, m_ints, unsigned: bool = True):
         self.f = field
         q = field.q
         assert not field.limbed and q.bit_length() <= 64
         m = np.asarray(m_ints, dtype=object)
         R, C = m.shape
         self.R, self.C = R, C
-        assert P64 * C * 128 * 127 < 2**31
+        self.unsigned = unsigned
+        self.K = K64_U8 if unsigned else K64
         mont = pow(2, 64, q)
+        self._qprime64 = np.uint64(pow(-q, -1, 1 << 64))
+        self._q = np.uint64(q)
+        if unsigned:
+            assert P64_U8 * C * 255 * 255 < 2**31
+            big = np.zeros((K64_U8 * R, P64_U8 * C), dtype=np.uint8)
+            mi = np.array([[int(v) for v in row] for row in m],
+                          dtype=object)
+            for l in range(P64_U8):
+                scale = pow(2, 8 * l, q) * mont % q
+                v = (mi * scale) % q
+                vv = v.astype(np.uint64)
+                for k in range(K64_U8):
+                    big[k * R:(k + 1) * R, l * C:(l + 1) * C] = (
+                        (vv >> np.uint64(8 * k))
+                        & np.uint64(0xFF)).astype(np.uint8)
+            self.big = big
+            self._bias_red = None
+            return
+        assert P64 * C * 128 * 127 < 2**31
         big = np.zeros((K64 * R, P64 * C), dtype=np.int8)
         for l in range(P64):
             scale = pow(2, D_BITS * l, q) * mont % q
@@ -68,13 +92,15 @@ class Mont64PrescaledMat:
                     for k in range(K64):
                         big[k * R + r, l * C + c] = dg[k]
         self.big = big  # numpy: safe to build inside a trace
-        self._qprime64 = np.uint64(pow(-q, -1, 1 << 64))
-        self._q = np.uint64(q)
         bias_val = sum((1 << 26) << (B_BITS * k) for k in range(K64))
         self._bias_red = np.uint64(bias_val * pow(1 << 64, -1, q) % q)
 
     def planes(self, x):
-        """u64 [C, B] -> int8 [P*C, B]."""
+        """u64 [C, B] -> int8/uint8 [P*C, B]."""
+        if self.unsigned:
+            return jnp.concatenate(
+                [((x >> np.uint64(8 * l)) & np.uint64(0xFF))
+                 .astype(jnp.uint8) for l in range(P64_U8)], axis=0)
         outs = [((x >> np.uint64(D_BITS * l)) & np.uint64(0x7F))
                 .astype(jnp.int8) for l in range(P64)]
         return jnp.concatenate(outs, axis=0)
@@ -88,10 +114,12 @@ class Mont64PrescaledMat:
         R = self.R
         zero = jnp.zeros((R,) + V.shape[1:], dtype=jnp.uint64)
         words = [zero, zero, zero, zero]
-        for k in range(K64):
-            b = (jax.lax.bitcast_convert_type(V[k * R:(k + 1) * R],
-                                              jnp.uint32)
-                 + np.uint32(1 << 26)).astype(jnp.uint64)  # < 2^27
+        for k in range(self.K):
+            b = jax.lax.bitcast_convert_type(V[k * R:(k + 1) * R],
+                                             jnp.uint32)
+            if not self.unsigned:
+                b = b + np.uint32(1 << 26)                 # < 2^27
+            b = b.astype(jnp.uint64)
             pos = B_BITS * k
             j, sh = pos >> 5, pos & 31
             contrib = b << np.uint64(sh)                   # < 2^59
@@ -111,6 +139,8 @@ class Mont64PrescaledMat:
         mq_hi, _ = _mul64_hi_lo(m, self._q)
         t = hi + mq_hi + (lo != np.uint64(0)).astype(jnp.uint64)
         t = jnp.where(t >= self._q, t - self._q, t)
+        if self.unsigned:
+            return t
         return self.f.sub(t, jnp.full_like(t, self._bias_red))
 
     def __call__(self, x):

@@ -39,18 +39,24 @@ def _u32cast(x):
     return jax.lax.bitcast_convert_type(x, jnp.uint32)
 
 
-def _fold_rows(v, R):
+def _fold_rows(v, R, signed=True):
     """v: int32 [K*R, C] -> canonical (lo, hi) u32 [R, C].
 
-    value = sum_k (v_k + 2^26) 2^(8k) - BIAS  (mod q); the +2^26 bias
-    makes every bucket nonnegative (|v_k| < 2^26 by the int8 accumulation
+    Signed scheme (K=9 signed weight digits): value =
+    sum_k (v_k + 2^26) 2^(8k) - BIAS  (mod q); the +2^26 bias makes
+    every bucket nonnegative (|v_k| < 2^26 by the int8 accumulation
     bound), and u32 wraparound implements it for free on the raw bits.
+    Unsigned scheme (u8 x u8 dots, K=8): buckets are already
+    nonnegative int32 — no bias add, no bias subtract.
     """
+    K = v.shape[0] // R
     zero = jnp.zeros((R,) + v.shape[1:], dtype=jnp.uint32)
     w = [zero, zero, zero, zero]
     ov = [zero, zero, zero, zero]
-    for k in range(K_BUCKETS):
-        b = _u32cast(v[k * R:(k + 1) * R]) + _BIAS
+    for k in range(K):
+        b = _u32cast(v[k * R:(k + 1) * R])
+        if signed:
+            b = b + _BIAS
         r = B_BITS * k
         j, sh = r >> 5, r & 31
         clo = b << np.uint32(sh) if sh else b
@@ -67,24 +73,26 @@ def _fold_rows(v, R):
         if j < 3:
             ov[j + 1] = ov[j + 1] + (t < ov[j]).astype(jnp.uint32)
     lo, hi = _reduce128(w[0], w[1], w[2], w[3])
+    if not signed:
+        return lo, hi
     return _sub_q(lo, hi, _BM_LO, _BM_HI)
 
 
-def _make_fold_end_kernel(R):
+def _make_fold_end_kernel(R, signed=True):
     def kern(v_ref, olo_ref, ohi_ref):
-        lo, hi = _fold_rows(v_ref[:], R)
+        lo, hi = _fold_rows(v_ref[:], R, signed)
         olo_ref[:] = lo
         ohi_ref[:] = hi
 
     return kern
 
 
-def _make_fold_tw_kernel(R, t, bc):
+def _make_fold_tw_kernel(R, t, bc, signed=True):
     def kern(v_ref, twlo_ref, twhi_ref, olo_ref, ohi_ref):
         twlo = twlo_ref[:]
         twhi = twhi_ref[:]
         for b in range(bc):
-            lo, hi = _fold_rows(v_ref[:, b * t:(b + 1) * t], R)
+            lo, hi = _fold_rows(v_ref[:, b * t:(b + 1) * t], R, signed)
             plo, phi = _mul_q(lo, hi, twlo, twhi)
             olo_ref[:, b * t:(b + 1) * t] = plo
             ohi_ref[:, b * t:(b + 1) * t] = phi
@@ -110,13 +118,13 @@ def _chunked(pcall, V, cols, chunk, extra=()):
     return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
 
 
-def fold_end(V, R, chunk=512, interpret=False):
+def fold_end(V, R, chunk=512, interpret=False, signed=True):
     """int32 [K*R, cols] -> u64 [R, cols] (cols % chunk == 0 or one chunk)."""
     cols = V.shape[1]
     chunk = min(chunk, cols)
     if cols % chunk:
         chunk = cols
-    kern = _make_fold_end_kernel(R)
+    kern = _make_fold_end_kernel(R, signed)
     pcall = pl.pallas_call(
         kern,
         in_specs=[_WHOLE],
@@ -129,7 +137,7 @@ def fold_end(V, R, chunk=512, interpret=False):
     return _pack_u64(lo, hi)
 
 
-def fold_tw(V, tw_lo, tw_hi, R, bc=2, interpret=False):
+def fold_tw(V, tw_lo, tw_hi, R, bc=2, interpret=False, signed=True):
     """int32 [K*R, B*t] + twiddle u32 [R, t] -> u64 [R, B*t].
 
     Column layout is (b, t): the twiddle broadcasts over the leading
@@ -141,7 +149,7 @@ def fold_tw(V, tw_lo, tw_hi, R, bc=2, interpret=False):
     bc = min(bc, B)
     while B % bc:
         bc -= 1
-    kern = _make_fold_tw_kernel(R, t, bc)
+    kern = _make_fold_tw_kernel(R, t, bc, signed)
     pcall = pl.pallas_call(
         kern,
         in_specs=[_WHOLE] * 3,
@@ -165,7 +173,7 @@ def fold_tw(V, tw_lo, tw_hi, R, bc=2, interpret=False):
 
 
 def _make_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
-                          transpose_out=False, unroll=False):
+                          transpose_out=False, unroll=False, signed=True):
     """Fold kernel with an internal fori_loop over column chunks.
 
     With t/bc set, fuses the mid-twiddle modmul (twiddle planes stay
@@ -242,7 +250,7 @@ def _make_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
                         else jax.lax.rem(i, jnp.int32(sub))) * chunk
                 lo_t = twlo[:, pl.ds(_i32(toff), chunk)]
                 hi_t = twhi[:, pl.ds(_i32(toff), chunk)]
-                lo, hi = _fold_rows(v, R)
+                lo, hi = _fold_rows(v, R, signed)
                 plo, phi = _mul_q(lo, hi, lo_t, hi_t)
                 if transpose_out:
                     vlo[slot] = plo.T
@@ -254,7 +262,7 @@ def _make_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
                 lo_t = twlo[:]
                 hi_t = twhi[:]
                 for b in range(bc):
-                    lo, hi = _fold_rows(v[:, b * t:(b + 1) * t], R)
+                    lo, hi = _fold_rows(v[:, b * t:(b + 1) * t], R, signed)
                     plo, phi = _mul_q(lo, hi, lo_t, hi_t)
                     if transpose_out:
                         vlo[slot, :, b * R:(b + 1) * R] = plo.T
@@ -263,7 +271,7 @@ def _make_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
                         vlo[slot, :, b * t:(b + 1) * t] = plo
                         vhi[slot, :, b * t:(b + 1) * t] = phi
             else:
-                lo, hi = _fold_rows(v, R)
+                lo, hi = _fold_rows(v, R, signed)
                 vlo[slot] = lo
                 vhi[slot] = hi
             for cp in out_copies(i, slot):
@@ -304,7 +312,7 @@ def _when(pred):
 
 
 def _fold_dma(V, R, chunk, tw_planes=None, bc=2, transpose_out=False,
-              unroll=False, interpret=False):
+              unroll=False, interpret=False, signed=True):
     cols = V.shape[1]
     subt = False
     if tw_planes is not None:
@@ -328,9 +336,9 @@ def _fold_dma(V, R, chunk, tw_planes=None, bc=2, transpose_out=False,
         while cols % chunk:
             chunk //= 2
     n_chunks = cols // chunk
-    KR = K_BUCKETS * R
+    KR = V.shape[0]
     kern = _make_fold_dma_kernel(R, n_chunks, chunk, t, bc, transpose_out,
-                                 unroll)
+                                 unroll, signed)
     in_specs = [_ANY] + ([_WHOLE, _WHOLE] if tw_planes is not None else [])
     if transpose_out:
         out_rows, out_cols = t, (cols // t) * R
@@ -358,23 +366,25 @@ def _fold_dma(V, R, chunk, tw_planes=None, bc=2, transpose_out=False,
     return _pack_u64(lo, hi)
 
 
-def fold_end_dma(V, R, chunk=512, unroll=False, interpret=False):
+def fold_end_dma(V, R, chunk=512, unroll=False, interpret=False,
+                 signed=True):
     """fold_end with the chunk loop inside ONE kernel (see module note)."""
-    return _fold_dma(V, R, chunk, unroll=unroll, interpret=interpret)
+    return _fold_dma(V, R, chunk, unroll=unroll, interpret=interpret,
+                     signed=signed)
 
 
 def fold_tw_dma(V, tw_lo, tw_hi, R, chunk=512, transpose_out=False,
-                unroll=False, interpret=False):
+                unroll=False, interpret=False, signed=True):
     """fold_tw with the chunk loop inside ONE kernel.
 
     transpose_out=True returns [t, (cols//t)*R] — each folded+twiddled
     [R, t] tile written transposed (the four-step mid transpose fused)."""
     return _fold_dma(V, R, chunk, tw_planes=(tw_lo, tw_hi),
                      transpose_out=transpose_out, unroll=unroll,
-                     interpret=interpret)
+                     interpret=interpret, signed=signed)
 
 
-def _make_fold2_mul_kernel(R, n_chunks, chunk):
+def _make_fold2_mul_kernel(R, n_chunks, chunk, signed=True):
     """Fold TWO bucket-plane inputs and multiply them slotwise, fused.
 
     Saves the standalone pointwise kernel's HBM round trip: the two
@@ -422,8 +432,8 @@ def _make_fold2_mul_kernel(R, n_chunks, chunk):
                 for cp in out_copies(i - 2, slot):
                     cp.wait()
 
-            alo, ahi = _fold_rows(vin[slot, _i32(0)], R)
-            blo, bhi = _fold_rows(vin[slot, _i32(1)], R)
+            alo, ahi = _fold_rows(vin[slot, _i32(0)], R, signed)
+            blo, bhi = _fold_rows(vin[slot, _i32(1)], R, signed)
             lo, hi = _mul_q(alo, ahi, blo, bhi)
             vlo[slot] = lo
             vhi[slot] = hi
@@ -440,7 +450,7 @@ def _make_fold2_mul_kernel(R, n_chunks, chunk):
     return kern
 
 
-def fold_end2_mul_dma(Va, Vb, R, chunk=256, interpret=False):
+def fold_end2_mul_dma(Va, Vb, R, chunk=256, interpret=False, signed=True):
     """(fold(Va) * fold(Vb)) mod q, fused: int32 [K*R, cols] x2 -> u64
     [R, cols].  Replaces fold_end(Va), fold_end(Vb) and the pointwise
     kernel in the full multiply."""
@@ -449,9 +459,9 @@ def fold_end2_mul_dma(Va, Vb, R, chunk=256, interpret=False):
     while cols % chunk:
         chunk //= 2
     n_chunks = cols // chunk
-    KR = K_BUCKETS * R
+    KR = Va.shape[0]
     pcall = pl.pallas_call(
-        _make_fold2_mul_kernel(R, n_chunks, chunk),
+        _make_fold2_mul_kernel(R, n_chunks, chunk, signed),
         in_specs=[_ANY, _ANY],
         out_specs=(_ANY, _ANY),
         out_shape=(jax.ShapeDtypeStruct((R, cols), jnp.uint32),
@@ -678,8 +688,8 @@ class Mxu2PallasNTT(Mxu2NTT):
     def __init__(self, N: int = 1 << 16, n1=None, interpret: bool = False,
                  pointwise_pallas: bool = False, dma_folds: bool = False,
                  fold_chunk: int = 512, fuse_transpose: bool = True,
-                 fuse_pointwise: bool = False):
-        super().__init__(N, n1)
+                 fuse_pointwise: bool = False, unsigned: bool = True):
+        super().__init__(N, n1, unsigned)
         self.interpret = interpret
         self.pointwise_pallas = pointwise_pallas
         self.dma_folds = dma_folds
@@ -702,18 +712,22 @@ class Mxu2PallasNTT(Mxu2NTT):
     def _fold_end(self, mat, V, B, t):
         if self.dma_folds:
             y = fold_end_dma(V, mat.R, chunk=self.fold_chunk,
-                             interpret=self.interpret)
+                             interpret=self.interpret,
+                             signed=not self.unsigned)
         else:
-            y = fold_end(V, mat.R, interpret=self.interpret)
+            y = fold_end(V, mat.R, interpret=self.interpret,
+                         signed=not self.unsigned)
         return y.reshape(mat.R, B, t)
 
     def _fold_tw(self, mat, V, tw, B, t):
         lo, hi = self._tw_planes(tw)
         if self.dma_folds:
             y = fold_tw_dma(V, lo, hi, mat.R, chunk=self.fold_chunk,
-                            interpret=self.interpret)
+                            interpret=self.interpret,
+                            signed=not self.unsigned)
         else:
-            y = fold_tw(V, lo, hi, mat.R, interpret=self.interpret)
+            y = fold_tw(V, lo, hi, mat.R, interpret=self.interpret,
+                        signed=not self.unsigned)
         return y.reshape(mat.R, B, t)
 
     def _lvl_tw_t(self, mat, x, tw, big=None):
@@ -724,7 +738,8 @@ class Mxu2PallasNTT(Mxu2NTT):
         V = mat.dot(x.reshape(C, B * t), big)
         lo, hi = self._tw_planes(tw)
         y = fold_tw_dma(V, lo, hi, mat.R, chunk=self.fold_chunk,
-                        transpose_out=True, interpret=self.interpret)
+                        transpose_out=True, interpret=self.interpret,
+                        signed=not self.unsigned)
         return y.reshape(t, B, mat.R)
 
     def pointwise(self, fa, fb):
@@ -750,6 +765,7 @@ class Mxu2PallasNTT(Mxu2NTT):
             mids.append(self.mat2.dot(mid.reshape(C, B * t), w2))
         prod = fold_end2_mul_dma(mids[0], mids[1], self.mat2.R,
                                  chunk=min(self.fold_chunk, 256),
-                                 interpret=self.interpret)
+                                 interpret=self.interpret,
+                                 signed=not self.unsigned)
         prod = prod.reshape(self.mat2.R, B, t)
         return self._from_internal(self.inverse_internal(prod, c))

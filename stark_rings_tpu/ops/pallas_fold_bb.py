@@ -33,16 +33,21 @@ def _u32cast(x):
     return jax.lax.bitcast_convert_type(x, jnp.uint32)
 
 
-def _bb_fold_rows(v, R):
+def _bb_fold_rows(v, R, signed=True):
     """int32 [K*R, C] bucket planes -> canonical u32 [R, C].
 
-    value = sum_k (v_k + 2^26) 2^(8k) < 2^59 as a u32 (lo, hi) pair,
-    then one word-REDC (the weights carry 2^32, mxu_bb.py) and the
-    constant bias image is subtracted mod q."""
+    Signed: value = sum_k (v_k + 2^26) 2^(8k) < 2^59 as a u32 (lo, hi)
+    pair, then one word-REDC (the weights carry 2^32, mxu_bb.py) and
+    the constant bias image is subtracted mod q.  Unsigned (u8 x u8
+    scheme, K=4): buckets are already nonnegative — no bias handling.
+    """
+    K = v.shape[0] // R
     lo = None
     hi = None
-    for k in range(K_BUCKETS):
-        b = _u32cast(v[k * R:(k + 1) * R]) + _BIAS       # < 2^27
+    for k in range(K):
+        b = _u32cast(v[k * R:(k + 1) * R])
+        if signed:
+            b = b + _BIAS                                # < 2^27
         sh = B_BITS * k
         if sh == 0:
             lo = b
@@ -60,6 +65,8 @@ def _bb_fold_rows(v, R):
     _, mq_hi = _mul32(m, jnp.full_like(m, _Qu))
     t = hi + mq_hi + (lo != np.uint32(0)).astype(jnp.uint32)
     t = jnp.where(t >= _Qu, t - _Qu, t)
+    if not signed:
+        return t
     return jnp.where(t < _BIAS_RED, t + _Qu - _BIAS_RED, t - _BIAS_RED)
 
 
@@ -80,7 +87,7 @@ def _i32(x):
 
 
 def _make_bb_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
-                             transpose_out=False, mul2=False):
+                             transpose_out=False, mul2=False, signed=True):
     """Single-plane DMA-looped fold kernel (see pallas_fold.py twin).
 
     mul2: two bucket-plane inputs, fold both and emit their Montgomery
@@ -132,20 +139,21 @@ def _make_bb_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
                 out_copy(i - 2, slot).wait()
 
             if mul2:
-                a = _bb_fold_rows(vin[slot, _i32(0)], R)
-                b = _bb_fold_rows(vin[slot, _i32(1)], R)
+                a = _bb_fold_rows(vin[slot, _i32(0)], R, signed)
+                b = _bb_fold_rows(vin[slot, _i32(1)], R, signed)
                 vout[slot] = _bb_mont_mul(a, b)
             elif twiddled:
                 for bb_ in range(bc):
                     y = _bb_fold_rows(
-                        vin[slot, _i32(0), :, bb_ * t:(bb_ + 1) * t], R)
+                        vin[slot, _i32(0), :, bb_ * t:(bb_ + 1) * t], R,
+                        signed)
                     p = _bb_mont_mul(y, tw[:])
                     if transpose_out:
                         vout[slot, :, bb_ * R:(bb_ + 1) * R] = p.T
                     else:
                         vout[slot, :, bb_ * t:(bb_ + 1) * t] = p
             else:
-                vout[slot] = _bb_fold_rows(vin[slot, _i32(0)], R)
+                vout[slot] = _bb_fold_rows(vin[slot, _i32(0)], R, signed)
             out_copy(i, slot).start()
             return carry
 
@@ -158,7 +166,7 @@ def _make_bb_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
 
 
 def _bb_fold_dma(Vs, R, chunk, tw=None, bc=4, transpose_out=False,
-                 interpret=False):
+                 interpret=False, signed=True):
     mul2 = len(Vs) == 2
     cols = Vs[0].shape[1]
     if tw is not None:
@@ -176,9 +184,9 @@ def _bb_fold_dma(Vs, R, chunk, tw=None, bc=4, transpose_out=False,
         while cols % chunk:
             chunk //= 2
     n_chunks = cols // chunk
-    KR = K_BUCKETS * R
+    KR = Vs[0].shape[0]
     kern = _make_bb_fold_dma_kernel(R, n_chunks, chunk, t, bc,
-                                    transpose_out, mul2)
+                                    transpose_out, mul2, signed)
     n_in = len(Vs)
     if transpose_out and tw is not None:
         out_shape = (t, (cols // t) * R)
@@ -205,23 +213,26 @@ def _bb_fold_dma(Vs, R, chunk, tw=None, bc=4, transpose_out=False,
     return pcall(*args)
 
 
-def bb_fold_end_dma(V, R, chunk=2048, interpret=False):
+def bb_fold_end_dma(V, R, chunk=2048, interpret=False, signed=True):
     """int32 [K*R, cols] -> u32 [R, cols], one kernel."""
-    return _bb_fold_dma((V,), R, chunk, interpret=interpret)
+    return _bb_fold_dma((V,), R, chunk, interpret=interpret, signed=signed)
 
 
 def bb_fold_tw_dma(V, tw, R, chunk=2048, transpose_out=False,
-                   interpret=False):
+                   interpret=False, signed=True):
     """fold + mid-twiddle Montgomery mul (+fused transpose), one kernel.
 
     ``tw``: u32 [R, t] Montgomery twiddle block, broadcast over batch."""
     return _bb_fold_dma((V,), R, chunk, tw=tw,
-                        transpose_out=transpose_out, interpret=interpret)
+                        transpose_out=transpose_out, interpret=interpret,
+                        signed=signed)
 
 
-def bb_fold_end2_mul_dma(Va, Vb, R, chunk=1024, interpret=False):
+def bb_fold_end2_mul_dma(Va, Vb, R, chunk=1024, interpret=False,
+                         signed=True):
     """(fold(Va) * fold(Vb)) Montgomery product, fused in one kernel."""
-    return _bb_fold_dma((Va, Vb), R, chunk, interpret=interpret)
+    return _bb_fold_dma((Va, Vb), R, chunk, interpret=interpret,
+                        signed=signed)
 
 
 from .mxu_bb import MxuBBNTT  # noqa: E402  (mxu_bb is a leaf module)
@@ -236,8 +247,8 @@ class MxuBBPallasNTT(MxuBBNTT):
 
     def __init__(self, N: int = 1 << 12, n1=None, interpret: bool = False,
                  fold_chunk: int = 2048, fuse_transpose: bool = True,
-                 fuse_pointwise: bool = True):
-        super().__init__(N, n1)
+                 fuse_pointwise: bool = True, unsigned: bool = True):
+        super().__init__(N, n1, unsigned)
         self.interpret = interpret
         self.fold_chunk = fold_chunk
         self.fuse_transpose = fuse_transpose
@@ -245,12 +256,14 @@ class MxuBBPallasNTT(MxuBBNTT):
 
     def _fold_end(self, mat, V, B, t):
         y = bb_fold_end_dma(V, mat.R, chunk=self.fold_chunk,
-                            interpret=self.interpret)
+                            interpret=self.interpret,
+                            signed=not self.unsigned)
         return y.reshape(mat.R, B, t)
 
     def _fold_tw(self, mat, V, tw, B, t):
         y = bb_fold_tw_dma(V, jnp.asarray(tw), mat.R,
-                           chunk=self.fold_chunk, interpret=self.interpret)
+                           chunk=self.fold_chunk, interpret=self.interpret,
+                           signed=not self.unsigned)
         return y.reshape(mat.R, B, t)
 
     def _lvl_tw_t(self, mat, x, tw, big=None):
@@ -260,7 +273,8 @@ class MxuBBPallasNTT(MxuBBNTT):
         V = mat.dot(x.reshape(C, B * t), big)
         y = bb_fold_tw_dma(V, jnp.asarray(tw), mat.R,
                            chunk=self.fold_chunk, transpose_out=True,
-                           interpret=self.interpret)
+                           interpret=self.interpret,
+                           signed=not self.unsigned)
         return y.reshape(t, B, mat.R)
 
     def mul(self, a, b, c=None):
@@ -278,6 +292,7 @@ class MxuBBPallasNTT(MxuBBNTT):
             mids.append(self.mat2.dot(mid.reshape(C, B * t), w2))
         prod = bb_fold_end2_mul_dma(mids[0], mids[1], self.mat2.R,
                                     chunk=min(self.fold_chunk, 1024),
-                                    interpret=self.interpret)
+                                    interpret=self.interpret,
+                                    signed=not self.unsigned)
         prod = prod.reshape(self.mat2.R, B, t)
         return self._from_internal(self.inverse_internal(prod, c))
