@@ -76,8 +76,15 @@ class TModelMul:
 
     # -- stages ----------------------------------------------------------
     def _limb_planes(self, core, xt):
-        """storage u32 [C, B, L] -> int8 [P*C, B] (straddling digits)."""
+        """storage u32 [C, B, L] -> int8/uint8 [P*C, B] digit planes."""
         outs = []
+        if getattr(core, "unsigned", False):
+            # limb-aligned unsigned 8-bit digits (mxu_limb u8 scheme)
+            for l in range(core.P):
+                j, off = l >> 2, (l & 3) * 8
+                lo = xt[..., j] >> np.uint32(off)
+                outs.append((lo & np.uint32(0xFF)).astype(jnp.uint8))
+            return jnp.stack(outs, axis=0).reshape(core.P * core.C, -1)
         for l in range(core.P):
             pos = _D_BITS * l
             j, off = pos >> 5, pos & 31

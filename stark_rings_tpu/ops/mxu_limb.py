@@ -47,32 +47,55 @@ class LimbPrescaledMat:
     exact.  Drop-in for ops/dense_linear.DenseModMat on limbed fields.
     """
 
-    def __init__(self, field: Field, m_ints):
+    def __init__(self, field: Field, m_ints, unsigned: bool = True):
         assert field.limbed
         self.f = field
         q = field.q
         L = field.N_LIMBS
         self.L = L
+        self.unsigned = unsigned
         bits = 32 * L
         # q < 2^(32L): storage values have at most qbits = q.bit_length()
         qbits = q.bit_length()
-        P = -(-qbits // D_BITS)            # 7-bit data planes
-        K = (qbits + B_BITS - 1) // B_BITS + 1  # signed 8-bit buckets
+        if unsigned:
+            # u8 x u8 scheme (e34): 8-bit digits align with the u32
+            # limbs (no straddling) and buckets are nonnegative
+            P = -(-qbits // 8)             # unsigned 8-bit data planes
+            K = -(-qbits // B_BITS)        # unsigned 8-bit buckets
+        else:
+            P = -(-qbits // D_BITS)            # 7-bit data planes
+            K = (qbits + B_BITS - 1) // B_BITS + 1  # signed 8-bit buckets
         self.P, self.K = P, K
         m = np.asarray(m_ints, dtype=object)
         R, C = m.shape
         self.R, self.C = R, C
-        assert P * C * 128 * 127 < 2**31, "int32 accumulation overflow"
         Rmont = pow(2, bits, q)            # fold REDC divides by 2^(32L)
-        big = np.zeros((K * R, P * C), dtype=np.int8)
-        for l in range(P):
-            scale = pow(2, D_BITS * l, q) * Rmont % q
-            for r in range(R):
-                for c in range(C):
-                    dg = _digitize_signed_host(int(m[r, c]) * scale % q,
-                                               k=K)
-                    for k in range(K):
-                        big[k * R + r, l * C + c] = dg[k]
+        if unsigned:
+            assert P * C * 255 * 255 < 2**31, "int32 accumulation overflow"
+            big = np.zeros((K * R, P * C), dtype=np.uint8)
+            for l in range(P):
+                scale = pow(2, 8 * l, q) * Rmont % q
+                for r in range(R):
+                    for c in range(C):
+                        v = int(m[r, c]) * scale % q
+                        for k in range(K):
+                            big[k * R + r, l * C + c] = (v >> (8 * k)) & 0xFF
+            self._bias_red = None
+        else:
+            assert P * C * 128 * 127 < 2**31, "int32 accumulation overflow"
+            big = np.zeros((K * R, P * C), dtype=np.int8)
+            for l in range(P):
+                scale = pow(2, D_BITS * l, q) * Rmont % q
+                for r in range(R):
+                    for c in range(C):
+                        dg = _digitize_signed_host(int(m[r, c]) * scale % q,
+                                                   k=K)
+                        for k in range(K):
+                            big[k * R + r, l * C + c] = dg[k]
+            bias_val = sum((1 << 26) << (B_BITS * k) for k in range(K))
+            bias_red = bias_val * pow(1 << bits, -1, q) % q
+            self._bias_red = np.array([(bias_red >> (32 * j)) & 0xFFFFFFFF
+                                       for j in range(L)], dtype=np.uint32)
         # NB: all tables stay NUMPY — this object is cached on RingModel
         # and may be built inside a jit trace; jnp constants created
         # in-trace would leak tracers (see CLAUDE.md / Field.encode).
@@ -81,24 +104,27 @@ class LimbPrescaledMat:
         self._qprime32 = np.uint64(pow(-q, -1, 1 << 32))
         self._q_limbs = [np.uint64((q >> (32 * j)) & 0xFFFFFFFF)
                          for j in range(L)]
-        bias_val = sum((1 << 26) << (B_BITS * k) for k in range(K))
-        bias_red = bias_val * pow(1 << bits, -1, q) % q
-        self._bias_red = np.array([(bias_red >> (32 * j)) & 0xFFFFFFFF
-                                   for j in range(L)], dtype=np.uint32)
-        #: words needed to hold sum_k (2^27) 2^(8k): 8(K-1)+27 bits
-        self._n_words = (B_BITS * (K - 1) + 27) // 32 + 2
+        #: words needed to hold sum_k v_k 2^(8k): 8(K-1)+31 bits
+        self._n_words = (B_BITS * (K - 1) + 31) // 32 + 2
 
     # -- device pipeline ---------------------------------------------------
     def planes(self, x2):
-        """storage u32 [B, C, L] -> int8 [P*C, B] of 7-bit digits."""
+        """storage u32 [B, C, L] -> int8/uint8 [P*C, B] digit planes."""
         outs = []
-        for l in range(self.P):
-            pos = D_BITS * l
-            j, off = pos >> 5, pos & 31
-            lo = x2[..., j] >> np.uint32(off)
-            if off > 32 - D_BITS and j + 1 < self.L:
-                lo = lo | (x2[..., j + 1] << np.uint32(32 - off))
-            outs.append((lo & np.uint32(0x7F)).astype(jnp.int8))
+        if self.unsigned:
+            # 8-bit digits align with the u32 limbs: no straddling
+            for l in range(self.P):
+                j, off = l >> 2, (l & 3) * 8
+                lo = x2[..., j] >> np.uint32(off)
+                outs.append((lo & np.uint32(0xFF)).astype(jnp.uint8))
+        else:
+            for l in range(self.P):
+                pos = D_BITS * l
+                j, off = pos >> 5, pos & 31
+                lo = x2[..., j] >> np.uint32(off)
+                if off > 32 - D_BITS and j + 1 < self.L:
+                    lo = lo | (x2[..., j + 1] << np.uint32(32 - off))
+                outs.append((lo & np.uint32(0x7F)).astype(jnp.int8))
         # [P, B, C] -> [P, C, B] -> [P*C, B]
         pl = jnp.stack(outs, axis=0)
         return jnp.transpose(pl, (0, 2, 1)).reshape(self.P * self.C, -1)
@@ -115,9 +141,11 @@ class LimbPrescaledMat:
         zero = jnp.zeros((R, B), dtype=jnp.uint64)
         words = [zero] * self._n_words
         for k in range(K):
-            b = (jax.lax.bitcast_convert_type(V[k * R:(k + 1) * R],
-                                              jnp.uint32)
-                 + np.uint32(1 << 26)).astype(jnp.uint64)
+            b = jax.lax.bitcast_convert_type(V[k * R:(k + 1) * R],
+                                             jnp.uint32)
+            if not self.unsigned:
+                b = b + np.uint32(1 << 26)
+            b = b.astype(jnp.uint64)
             pos = B_BITS * k
             j, sh = pos >> 5, pos & 31
             contrib = b << np.uint64(sh)       # < 2^59
@@ -150,6 +178,8 @@ class LimbPrescaledMat:
         mask = self.f._geq_q(limbs)
         limbs = self.f._sub_q(limbs, mask)
         out = jnp.stack(limbs, axis=-1).astype(jnp.uint32)  # [R, B, L]
+        if self.unsigned:
+            return out
         return self.f.sub(out, self._bias_red)
 
     def __call__(self, x):
