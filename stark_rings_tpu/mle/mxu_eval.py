@@ -31,12 +31,18 @@ import jax
 import jax.numpy as jnp
 
 from ..fields import GOLDILOCKS as _f
-from ..ops.mxu2 import B_BITS, D_BITS, K_BUCKETS, P_PLANES
+from ..ops.mxu2 import (B_BITS, D_BITS, K_BUCKETS, P_PLANES,
+                        K_BUCKETS_U8, P_PLANES_U8)
 
 __all__ = ["evaluate_goldilocks_mxu", "fix_last_variables_mxu"]
 
 _Q = _f.q
 _MASK32 = np.uint64(0xFFFFFFFF)
+
+#: longest contraction the unsigned u8 x u8 scheme supports (int32
+#: bucket bound P * R * 255^2 < 2^31); longer contractions fall back to
+#: the signed 7-bit scheme, which reaches R = 2^13 (tables to 2^26)
+_U8_MAX_R = (2**31 - 1) // (P_PLANES_U8 * 255 * 255)
 
 
 def _bias_bits(R):
@@ -94,20 +100,50 @@ def _planes(x):
          for l in range(P_PLANES)], axis=0)
 
 
-def _fold(V, bias_bits):
+def _weights_u8(u):
+    """canonical u64 [n] -> prescaled unsigned planes uint8 [K8, P8*n].
+
+    Unsigned base-256 digitization is carry-free: just shifts+masks of
+    the prescaled values (the runtime analogue of the e34 u8 scheme)."""
+    blocks = []
+    for l in range(P_PLANES_U8):
+        s = _f.mul(u, jnp.asarray(np.uint64(pow(2, 8 * l, _Q))))
+        blocks.append(jnp.stack(
+            [((s >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(jnp.uint8)
+             for k in range(K_BUCKETS_U8)]))
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _planes_u8(x):
+    """u64 [R, C] -> uint8 [P8*R, C] of 8-bit digit planes (l-major)."""
+    return jnp.concatenate(
+        [((x >> np.uint64(8 * l)) & np.uint64(0xFF)).astype(jnp.uint8)
+         for l in range(P_PLANES_U8)], axis=0)
+
+
+def _fold(V, bias_bits=None):
     """int32 [K, C] buckets -> canonical u64 [C].
 
-    value = sum_k (V_k + 2^bias_bits) 2^(8k) - BIAS (mod q); base-2^32
-    word accumulation exactly as PrescaledMat.fold but with the wider
-    bias this contraction length needs."""
-    bias = np.uint64(1 << bias_bits)
-    bias_val = sum((1 << bias_bits) << (B_BITS * k)
-                   for k in range(K_BUCKETS))
-    bias_mod = jnp.asarray(np.uint64(bias_val % _Q))
-    n_words = (B_BITS * (K_BUCKETS - 1) + bias_bits + 1) // 32 + 1
+    Signed scheme (bias_bits set): value =
+    sum_k (V_k + 2^bias_bits) 2^(8k) - BIAS (mod q).  Unsigned scheme
+    (bias_bits None, K = V.shape[0]): buckets already nonnegative."""
+    K = V.shape[0]
+    if bias_bits is None:
+        bias = None
+        bias_mod = None
+        n_words = (B_BITS * (K - 1) + 31) // 32 + 1
+    else:
+        bias = np.uint64(1 << bias_bits)
+        bias_val = sum((1 << bias_bits) << (B_BITS * k)
+                       for k in range(K))
+        bias_mod = jnp.asarray(np.uint64(bias_val % _Q))
+        n_words = (B_BITS * (K - 1) + bias_bits + 1) // 32 + 1
     words = [None] * (n_words + 1)
-    for k in range(K_BUCKETS):
-        v = (V[k].astype(jnp.int64) + jnp.int64(bias)).astype(jnp.uint64)
+    for k in range(K):
+        if bias is None:
+            v = V[k].astype(jnp.uint64)
+        else:
+            v = (V[k].astype(jnp.int64) + jnp.int64(bias)).astype(jnp.uint64)
         r = B_BITS * k
         j, sh = r >> 5, r & 31
         contrib = v << np.uint64(sh)
@@ -129,6 +165,8 @@ def _fold(V, bias_bits):
     A = digits[0] | (digits[1] << np.uint64(32))
     Bw = digits[2] | (digits[3] << np.uint64(32))
     acc = _f._reduce128(Bw, A)
+    if bias_mod is None:
+        return acc
     return _f.sub(acc, bias_mod)
 
 
@@ -157,6 +195,10 @@ def fix_last_variables_mxu(evals, pts_high):
         return ev
     M = evals.reshape(R, C)
     u = _eq_vector(pts_high)
+    if R <= _U8_MAX_R:
+        V = jax.lax.dot(_weights_u8(u), _planes_u8(M),
+                        preferred_element_type=jnp.int32)
+        return _fold(V)
     V = jax.lax.dot(_weights(u), _planes(M),
                     preferred_element_type=jnp.int32)
     return _fold(V, _bias_bits(R))
@@ -183,10 +225,19 @@ def evaluate_goldilocks_mxu(evals, pts):
     u = _eq_vector(pts[hl:])       # [R] high-half eq
     v = _eq_vector(pts[:hl])       # [C] low-half eq
     # y[c] = sum_r u[r] M[r, c]  — contraction over rows, exact
-    Vb = jax.lax.dot(_weights(u), _planes(M),
-                     preferred_element_type=jnp.int32)
-    y = _fold(Vb, _bias_bits(R))   # [C]
+    if R <= _U8_MAX_R:
+        Vb = jax.lax.dot(_weights_u8(u), _planes_u8(M),
+                         preferred_element_type=jnp.int32)
+        y = _fold(Vb)              # [C]
+    else:
+        Vb = jax.lax.dot(_weights(u), _planes(M),
+                         preferred_element_type=jnp.int32)
+        y = _fold(Vb, _bias_bits(R))   # [C]
     # eval = sum_c y[c] v[c]
+    if C <= _U8_MAX_R:
+        Vb2 = jax.lax.dot(_weights_u8(v), _planes_u8(y[:, None]),
+                          preferred_element_type=jnp.int32)
+        return _fold(Vb2)[0]
     Vb2 = jax.lax.dot(_weights(v), _planes(y[:, None]),
                       preferred_element_type=jnp.int32)
     return _fold(Vb2, _bias_bits(C))[0]
