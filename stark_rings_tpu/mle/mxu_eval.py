@@ -34,7 +34,8 @@ from ..fields import GOLDILOCKS as _f
 from ..ops.mxu2 import (B_BITS, D_BITS, K_BUCKETS, P_PLANES,
                         K_BUCKETS_U8, P_PLANES_U8)
 
-__all__ = ["evaluate_goldilocks_mxu", "fix_last_variables_mxu"]
+__all__ = ["evaluate_goldilocks_mxu", "evaluate_many_goldilocks_mxu",
+           "fix_last_variables_mxu"]
 
 _Q = _f.q
 _MASK32 = np.uint64(0xFFFFFFFF)
@@ -111,6 +112,21 @@ def _weights_u8(u):
         blocks.append(jnp.stack(
             [((s >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(jnp.uint8)
              for k in range(K_BUCKETS_U8)]))
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _weights_u8_rows(U):
+    """canonical u64 [W, n] -> uint8 [K8*W, P8*n] digit planes.
+
+    Row block k holds digit k of every row's prescaled weights, so one
+    int8 dot contracts ALL W weight rows against the shared data planes
+    (out[k*W + w, c] = bucket k of sum_n U[w, n] * M[n, c])."""
+    blocks = []
+    for l in range(P_PLANES_U8):
+        s = _f.mul(U, jnp.asarray(np.uint64(pow(2, 8 * l, _Q))))
+        blocks.append(jnp.concatenate(
+            [((s >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(jnp.uint8)
+             for k in range(K_BUCKETS_U8)], axis=0))
     return jnp.concatenate(blocks, axis=1)
 
 
@@ -202,6 +218,43 @@ def fix_last_variables_mxu(evals, pts_high):
     V = jax.lax.dot(_weights(u), _planes(M),
                     preferred_element_type=jnp.int32)
     return _fold(V, _bias_bits(R))
+
+
+def evaluate_many_goldilocks_mxu(evals, pts_batch):
+    """Evaluate one dense Goldilocks MLE at W points, sharing the table
+    read: Y = U M (one contraction for ALL points), then per-point
+    row-column products — the batched-opening shape of a sumcheck /
+    PCS prover.  ``pts_batch``: [W, nv] canonical u64 array (or list of
+    point lists).  Returns canonical u64 [W]; equals
+    evaluate_goldilocks_mxu applied per point (tested).
+    """
+    P = jnp.asarray(pts_batch, dtype=jnp.uint64)
+    W, nv = P.shape
+    assert evals.shape == (1 << nv,)
+    if nv < 4:
+        w = jax.vmap(lambda p: _eq_vector(list(p)))(P)       # [W, 2^nv]
+        return _f.sum(_f.mul(evals[None, :], w), axis=1)
+    hl = nv // 2
+    C = 1 << hl
+    R = (1 << nv) // C
+    assert R <= _U8_MAX_R and C <= _U8_MAX_R, \
+        "point-batched evaluation supports tables to 2^24"
+    M = evals.reshape(R, C)
+    U = jax.vmap(lambda p: _eq_vector(list(p)))(P[:, hl:])   # [W, R]
+    Vv = jax.vmap(lambda p: _eq_vector(list(p)))(P[:, :hl])  # [W, C]
+    # Y[w, c] = sum_r U[w, r] M[r, c] — ONE dot for all W points
+    Vb = jax.lax.dot(_weights_u8_rows(U), _planes_u8(M),
+                     preferred_element_type=jnp.int32)       # [K8*W, C]
+    Y = _fold(Vb.reshape(K_BUCKETS_U8, W * C)).reshape(W, C)
+    # eval[w] = sum_c Y[w, c] Vv[w, c]: digit-expand Y rowwise, contract C
+    yp = jnp.concatenate(
+        [((Y >> np.uint64(8 * l)) & np.uint64(0xFF)).astype(jnp.uint8)
+         for l in range(P_PLANES_U8)], axis=1)               # [W, P8*C]
+    wv = _weights_u8_rows(Vv).reshape(
+        K_BUCKETS_U8, W, P_PLANES_U8 * C)                    # [K8, W, P8*C]
+    V2 = jnp.einsum("kwp,wp->kw", wv.astype(jnp.int32),
+                    yp.astype(jnp.int32))                    # exact int32
+    return _fold(V2)
 
 
 def evaluate_goldilocks_mxu(evals, pts):

@@ -53,3 +53,20 @@ def test_mxu_eval_boolean_point_reads_table():
     pts = [np.uint64((idx >> j) & 1) for j in range(nv)]
     got = int(np.asarray(evaluate_goldilocks_mxu(ev, pts)))
     assert got == int(np.asarray(ev[idx]))
+
+
+@pytest.mark.parametrize("nv", [3, 9, 14])
+def test_evaluate_many_matches_per_point(nv):
+    """Point-batched evaluation (one shared table contraction for all W
+    points) equals evaluate_goldilocks_mxu applied per point."""
+    from stark_rings_tpu.mle.mxu_eval import evaluate_many_goldilocks_mxu
+
+    rng = np.random.default_rng(nv)
+    ev = jnp.asarray(rng.integers(0, f.q, size=(1 << nv,), dtype=np.uint64))
+    P = rng.integers(0, f.q, size=(5, nv), dtype=np.uint64)
+    many = np.asarray(jax.jit(
+        lambda e, p: evaluate_many_goldilocks_mxu(e, p))(ev, P))
+    for w in range(P.shape[0]):
+        pts = [np.uint64(x) for x in P[w]]
+        assert int(many[w]) == int(np.asarray(
+            evaluate_goldilocks_mxu(ev, pts)))
