@@ -4,15 +4,18 @@ modular matmul levels with *pre-scaled* int8 digit weights.
 Key ideas over ops/mxu.py (round-1 MXU path):
 
 * **Pre-scaled weights kill the bucket blow-up.**  For data digit plane
-  ``l`` (7-bit unsigned digits of the u64 operand), the weight matrix is
-  pre-multiplied by ``2^(7l) mod q`` and THEN digitized (9 signed 8-bit
-  digits).  The digit-pair grid of ops/mxu.py (10x10 products, 19
-  buckets) collapses into ONE int8 matmul
+  ``l``, the weight matrix is pre-multiplied by ``2^(bits*l) mod q`` and
+  THEN digitized.  The digit-pair grid of ops/mxu.py (10x10 products, 19
+  buckets) collapses into ONE 8-bit matmul
 
       big[K*R, P*C] @ planes[P*C, cols]  ->  V[K*R, cols]   (int32)
 
-  with K = 9 output buckets (vs 19) and the minimal MAC count
-  (P*K = 90 int8 MACs per 64-bit modular MAC, no stacking waste).
+  DEFAULT (unsigned, e34): the v5e MXU runs u8 x u8 -> int32 dots at
+  ~197 TOPS (94% of the s8 rate), so data and weights both use plain
+  base-256 digits — P = K = 8, 64 MACs per 64-bit modular MAC, and
+  every bucket is nonnegative (bias-free folds).  The signed scheme
+  (P=10 7-bit planes x K=9 signed digits = 90 MACs + 2^26 bucket bias)
+  is kept behind ``unsigned=False``.
 * **XLA-level dots.**  Measured on the v5e: XLA lowers large int8 dots at
   275-700 TOPS, while Mosaic's in-kernel `lax.dot` on int8 runs at ~25
   TOPS (f32 path).  So the matmuls stay at XLA level and the epilogues

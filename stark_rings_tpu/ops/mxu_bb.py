@@ -1,15 +1,16 @@
 """MXU NTT for BabyBear power-of-two rings (BASELINE config 2).
 
-Same pre-scaled-signed-digit-weights construction as ops/mxu2.py, sized
-for a 31-bit modulus: 5 unsigned 7-bit data planes x 5 signed 8-bit
-weight buckets = 25 int8 MACs per modular MAC (vs 90 for the 64-bit
-Goldilocks), and the fold is a single Montgomery REDC because the bucket
-recombination fits in one u64 word:
+Same pre-scaled-digit-weights construction as ops/mxu2.py, sized for a
+31-bit modulus.  DEFAULT (unsigned u8 scheme, e34): 4 unsigned 8-bit
+data planes x 4 unsigned weight digits = 16 MACs per modular MAC (vs
+64 for 64-bit Goldilocks), bias-free.  Signed scheme behind
+unsigned=False: 5 x 7-bit planes x 5 signed buckets = 25 MACs with a
+2^26 bucket bias.  Either way the fold is a single Montgomery REDC
+because the bucket recombination fits in one u64 word:
 
 * weights are pre-multiplied by ``2^32 mod q`` before digitization, so
   the REDC's ``2^-32`` cancels and the fold output is canonical;
-* bucket bias ``2^26`` makes the int32 planes nonnegative; the biased
-  packing is < 2^59 < q*2^32, one REDC + one conditional subtract.
+* the packing is < q*2^32, so one REDC + one conditional subtract.
 
 Generalizes the reference's BabyBear butterfly kernels
 (/root/reference/crates/ring/src/cyclotomic_ring/models/babybear/ntt.rs:143-236)

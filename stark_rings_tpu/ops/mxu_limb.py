@@ -5,14 +5,15 @@ field, /root/reference/crates/ring/src/cyclotomic_ring/models/stark_prime/ntt.rs
 composed into one linear map) could not use ops/dense_linear.py: the
 DenseModMat formulation inlines 256 eight-limb CIOS multiplies, a ~10^5
 -op graph that the remote compiler chokes on.  This module applies the
-same pre-scaled signed-digit-weight construction as ops/mxu2.py, sized
-for an 8-limb modulus:
+same pre-scaled digit-weight construction as ops/mxu2.py, sized for an
+8-limb modulus.  DEFAULT (unsigned u8 scheme, e34):
 
-* data: 36 unsigned 7-bit planes covering the 252-bit storage limbs
-  (digits straddle the u32 limb boundaries);
-* weights: pre-multiplied by ``2^(7l) * 2^256 mod q`` and digitized
-  into 33 signed 8-bit bucket planes, so ONE int8 matmul
-  ``[33R, 36C] @ [36C, B]`` replaces all R*C field multiplies;
+* data: 32 unsigned 8-bit planes, ALIGNED with the u32 storage limbs
+  (no digit straddling);
+* weights: pre-multiplied by ``2^(8l) * 2^256 mod q`` and digitized
+  into 32 unsigned 8-bit bucket planes, so ONE u8 matmul
+  ``[32R, 32C] @ [32C, B]`` (1024 MACs/modmul) replaces all R*C field
+  multiplies; the signed 36x33 variant stays behind unsigned=False;
 * fold: bucket packing into base-2^32 words, then eight word-REDC
   rounds (the pre-absorbed 2^256 cancels) and one conditional
   subtract — ~64 u64 multiplies per OUTPUT instead of ~130 per

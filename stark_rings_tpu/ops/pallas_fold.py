@@ -1,11 +1,12 @@
 """Pallas epilogue kernels for the MXU NTT v2 (ops/mxu2.py).
 
-The int8 dots run at XLA level (measured 275-700 TOPS there vs ~25 in
-Mosaic); what XLA cannot do efficiently is the *fold*: combining the 9
-signed int32 bucket planes into a canonical u64 mod q — at XLA level the
-u64 emulation materializes every intermediate to HBM (measured ~65us per
-deg-2^16 element for ONE fold).  These kernels do the fold (and the
-fused mid-twiddle modmul) in VMEM on u32 pairs.
+The 8-bit dots run at XLA level (measured 275-700 TOPS there vs ~25 in
+Mosaic); what XLA cannot do efficiently is the *fold*: combining the
+int32 bucket planes (8 unsigned by default, 9 signed+biased with
+unsigned=False — see ops/mxu2.py) into a canonical u64 mod q — at XLA
+level the u64 emulation materializes every intermediate to HBM
+(measured ~65us per deg-2^16 element for ONE fold).  These kernels do
+the fold (and the fused mid-twiddle modmul) in VMEM on u32 pairs.
 
 Whole-array BlockSpecs + an unrolled XLA chunk loop (gridded BlockSpecs
 crash the remote compiler on this stack — see CLAUDE.md pitfalls).
