@@ -204,6 +204,33 @@ def main():
         print(f"mle mxu bench failed: {exc}", file=sys.stderr)
         out["mle20_full_evaluate_mxu_per_s"] = None
 
+    # ---- point-BATCHED evaluation: one shared table contraction --------
+    from stark_rings_tpu.mle.mxu_eval import evaluate_many_goldilocks_mxu
+
+    W = 16
+
+    def build_mle_many(depth):
+        evals = jax.device_put(nrng.integers(0, f.q, size=(1 << nv,),
+                                             dtype=np.uint64))
+        P = jax.device_put(nrng.integers(0, f.q, size=(W, nv),
+                                         dtype=np.uint64))
+
+        def fn(ev, P):
+            for _ in range(depth):
+                v = evaluate_many_goldilocks_mxu(ev, P)
+                # dependent re-entry: perturb table AND points
+                ev = f.add(ev, jnp.broadcast_to(v[0], ev.shape))
+                P = f.add(P, jnp.broadcast_to(v[:1, None], P.shape))
+            return ev
+        return jax.jit(fn), (evals, P)
+
+    try:
+        rate, _ = chain_rate(build_mle_many, W, lo=2, hi=66, reps=3)
+        out[f"mle20_evaluate_many_W{W}_points_per_s"] = round(rate, 2)
+    except Exception as exc:  # noqa
+        print(f"mle many bench failed: {exc}", file=sys.stderr)
+        out[f"mle20_evaluate_many_W{W}_points_per_s"] = None
+
     # ---- full 20-var sumcheck prover arithmetic (one jit module) -------
     from stark_rings_tpu.mle.sumcheck import sumcheck_prove_with_challenges
 
