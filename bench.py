@@ -487,8 +487,11 @@ def mle20_eval_rate():
 
 
 def main():
-    N, B = 1 << 16, 128  # B large enough to stay compute-bound even at
-    #                      25 ms/dispatch tunnel-congestion episodes
+    N, B = 1 << 16, 96   # e37 batch sweep (u8 scheme): 48/64/80/96 ->
+    #                      15.0/15.3/15.7/15.7k, 128/192/256 ->
+    #                      14.5/13.3/11.0k; the plateau is 80-96 and the
+    #                      chain stays compute-bound through 25 ms
+    #                      tunnel-congestion episodes
     try:
         rt_ms = tunnel_roundtrip_ms()
         path, ring_mults, pb, pw_rate, pw_path, all_rates = primary(N, B)

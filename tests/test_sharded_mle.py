@@ -106,3 +106,37 @@ def test_sharded_matvec_field_scalars():
     got = mv(np.asarray(A.vals), v)
     want = A.mul_vec(v)
     assert (np.asarray(got) == np.asarray(want)).all()
+
+
+@pytest.mark.parametrize("name", ["goldilocks", "stark_prime"])
+def test_sharded_sumcheck_matches_single(name):
+    """Multi-chip sumcheck prover == the single-device prover: same
+    messages and final bound values for the same challenges."""
+    from stark_rings_tpu.mle.sumcheck import sumcheck_prove_with_challenges
+
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    f = get_field(name)
+    nv = 8
+    mesh = make_mesh(Pn)
+    sm = ShardedMLE(f, nv, mesh)
+    rng = random.Random(7)
+
+    def enc_vec(n):
+        return np.asarray(f.encode(np.array(
+            [rng.randrange(f.q) for _ in range(n)], dtype=object)))
+
+    G = enc_vec(1 << nv)
+    H = enc_vec(1 << nv)
+    chals = [np.asarray(f.encode(np.array(rng.randrange(f.q),
+                                          dtype=object)))
+             for _ in range(nv)]
+    fn = sm.make_sumcheck_fn()
+    msgs, gv, hv = fn(G, H, *chals)
+    want_msgs, want_g, want_h = jax.jit(
+        lambda G, H, *cs: sumcheck_prove_with_challenges(f, G, H, cs))(
+            G, H, *chals)
+    assert np.array_equal(np.asarray(msgs), np.asarray(want_msgs))
+    assert np.array_equal(np.asarray(gv), np.asarray(want_g))
+    assert np.array_equal(np.asarray(hv), np.asarray(want_h))
