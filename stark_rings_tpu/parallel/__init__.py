@@ -9,6 +9,8 @@ feature, SURVEY.md §2.5); this package is the TPU-native scale-out story:
 from .linalg import ShardedMatVec
 from .mesh import make_mesh
 from .mle import ShardedMLE
+from .model import ShardedModelMul
 from .ntt import ShardedNTT
 
-__all__ = ["make_mesh", "ShardedNTT", "ShardedMLE", "ShardedMatVec"]
+__all__ = ["make_mesh", "ShardedNTT", "ShardedMLE", "ShardedMatVec",
+           "ShardedModelMul"]

@@ -1,0 +1,35 @@
+"""Data-parallel sharded model multiply == the local fused multiply
+(reference rayon DP mapped to a mesh batch axis)."""
+
+import random
+import numpy as np
+import pytest
+import jax
+
+from stark_rings_tpu.rings import get_ring
+from stark_rings_tpu.parallel import ShardedModelMul, make_mesh
+from stark_rings_tpu.ops.model_mul import TModelMul
+
+
+@pytest.mark.parametrize("name", ["goldilocks", "stark_prime"])
+def test_sharded_model_mul_matches_local(name):
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    ring = get_ring(name)
+    mesh = make_mesh(Pn)
+    smm = ShardedModelMul(ring, mesh)
+    rng = random.Random(5)
+    B = 16
+    a = np.asarray(ring.rand_coeff((B,), rng))
+    b = np.asarray(ring.rand_coeff((B,), rng))
+    got = np.asarray(smm.make_mul_fn()(a, b))
+    tm = TModelMul(ring)
+    want = np.asarray(jax.jit(tm.mul)(a, b))
+    assert np.array_equal(got, want)
+
+    na = np.asarray(ring.crt(a))
+    nb = np.asarray(ring.crt(b))
+    got_n = np.asarray(smm.make_ntt_mul_fn()(na, nb))
+    want_n = np.asarray(jax.jit(ring.ntt_mul)(na, nb))
+    assert np.array_equal(got_n, want_n)
