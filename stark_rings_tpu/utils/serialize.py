@@ -19,6 +19,7 @@ __all__ = [
     "elem_nbytes", "elements_to_bytes", "elements_from_bytes",
     "vec_to_bytes", "vec_from_bytes",
     "matrix_to_bytes", "matrix_from_bytes",
+    "symmetric_matrix_to_bytes", "symmetric_matrix_from_bytes",
     "sparse_matrix_to_bytes", "sparse_matrix_from_bytes",
     "dense_mle_to_bytes", "dense_mle_from_bytes",
     "sparse_mle_to_bytes", "sparse_mle_from_bytes",
@@ -151,6 +152,40 @@ def matrix_from_bytes(elems, data: bytes):
     vals = _encode_elems(elems, rows)
     shape = (nrows, ncols) + vals.shape[1:]
     return Matrix(elems, vals.reshape(shape))
+
+
+def symmetric_matrix_to_bytes(sym) -> bytes:
+    """SymmetricMatrix -> arkworks Vec<Vec<F>> compressed bytes.
+
+    The reference serializes the packed lower-triangular rows directly
+    (symmetric_matrix.rs:116-130: CanonicalSerialize of the inner
+    Vec<Vec<F>>, row i holding i+1 entries)."""
+    vals = _decode_flat(sym.e, sym.vals)
+    out = [struct.pack("<Q", sym.n)]
+    k = 0
+    for i in range(sym.n):
+        out.append(struct.pack("<Q", i + 1))
+        for _ in range(i + 1):
+            out.append(_elem_bytes(sym.e, vals[k]))
+            k += 1
+    return b"".join(out)
+
+
+def symmetric_matrix_from_bytes(elems, data: bytes):
+    from ..linalg import SymmetricMatrix
+
+    (n,) = struct.unpack_from("<Q", data, 0)
+    off = 8
+    flat = []
+    for i in range(n):
+        (rl,) = struct.unpack_from("<Q", data, off)
+        assert rl == i + 1, "row i must have i+1 entries"
+        off += 8
+        for _ in range(rl):
+            e, off = _read_elem(elems, data, off)
+            flat.append(tuple(e))
+    vals = _encode_elems(elems, flat)
+    return SymmetricMatrix(elems, n, vals)
 
 
 def sparse_matrix_to_bytes(sp) -> bytes:

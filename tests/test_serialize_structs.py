@@ -128,3 +128,24 @@ def test_ring_and_limbed_roundtrips():
     dm = DenseMLE.rand(er, 3, rng)
     backd = dense_mle_from_bytes(er, dense_mle_to_bytes(dm))
     assert (np.asarray(backd.evals) == np.asarray(dm.evals)).all()
+
+
+def test_symmetric_matrix_golden_bytes():
+    """Vec<Vec<F>> of the packed rows: u64 n, then row i = u64 (i+1) +
+    its i+1 elements (symmetric_matrix.rs:116-130)."""
+    from stark_rings_tpu.linalg import SymmetricMatrix
+    from stark_rings_tpu.utils.serialize import (
+        symmetric_matrix_from_bytes, symmetric_matrix_to_bytes)
+
+    f = get_field("babybear")
+    e = FieldElems(f)
+    S = SymmetricMatrix.from_rows(e, [[5], [6, 7], [8, 9, 10]])
+    got = symmetric_matrix_to_bytes(S)
+    want = (u64(3)
+            + u64(1) + bb4(5)
+            + u64(2) + bb4(6) + bb4(7)
+            + u64(3) + bb4(8) + bb4(9) + bb4(10))
+    assert got == want
+    back = symmetric_matrix_from_bytes(e, got)
+    assert back.n == 3
+    assert (np.asarray(back.vals) == np.asarray(S.vals)).all()
