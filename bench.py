@@ -176,6 +176,41 @@ def primary(N, B):
         print(f"pallas single failed ({type(exc).__name__}: {exc})",
               file=sys.stderr)
     try:
+        # stacked-forward variant (e38): both operands' forward
+        # transforms share one dot/fold pair at 2x columns; best at
+        # B=48 (effective forward batch 96 = the unstacked sweet spot)
+        Bs = 48
+        ts = Mxu2PallasNTT(N, dma_folds=True, pointwise_pallas=True,
+                           fuse_pointwise=True, stack_forward=True)
+        cs_tab = jax.device_put(ts.consts())
+
+        def build_stacked(depth):
+            a, bs = operands(Bs, depth)
+
+            def fn(cc, x, bs):
+                for i in range(depth):
+                    x = ts.mul(x, bs[i], cc)
+                return x
+            return jax.jit(fn), (cs_tab, a, bs)
+
+        try:
+            from stark_rings_tpu.native.host import HostGoldilocks
+
+            a, b = operands(2)
+            hg = HostGoldilocks(N)
+            got = np.asarray(jax.jit(lambda cc, x, y: ts.mul(x, y, cc))(
+                cs_tab, a, b))
+            assert np.array_equal(got, hg.mul(np.asarray(a),
+                                              np.asarray(b))), \
+                "stacked mxu2 pallas mismatch vs host oracle"
+        except (OSError, ImportError):
+            pass
+        rates["mxu2_pallas_stacked"], _ = chain_rate(build_stacked, Bs)
+        batches["mxu2_pallas_stacked"] = Bs
+    except Exception as exc:  # noqa
+        print(f"pallas stacked failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+    try:
         from stark_rings_tpu.ops.mxu2 import Mxu2NTT
 
         tx = Mxu2NTT(N)

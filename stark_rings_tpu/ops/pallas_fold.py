@@ -385,21 +385,34 @@ def fold_tw_dma(V, tw_lo, tw_hi, R, chunk=512, transpose_out=False,
                      interpret=interpret, signed=signed)
 
 
-def _make_fold2_mul_kernel(R, n_chunks, chunk, signed=True):
+def _make_fold2_mul_kernel(R, n_chunks, chunk, signed=True, stacked=0):
     """Fold TWO bucket-plane inputs and multiply them slotwise, fused.
 
     Saves the standalone pointwise kernel's HBM round trip: the two
     forward transforms' canonical u64 values never hit HBM separately —
-    only the slot product does."""
+    only the slot product does.
 
-    def kern(va_hbm, vb_hbm, olo_hbm, ohi_hbm, vin, vlo, vhi,
-             in_sem, out_sem):
-        srcs = (va_hbm, vb_hbm)
+    With ``stacked`` set, there is ONE bucket-plane input holding both
+    operands side by side ([K*R, 2*cols], operand j at column offset
+    j*stacked) and the kernel DMAs each half directly — no XLA-level
+    strided slice (which would materialize ~100 MB copies)."""
+
+    def kern(*refs):
+        if stacked:
+            v_hbm, olo_hbm, ohi_hbm = refs[:3]
+            vin, vlo, vhi, in_sem, out_sem = refs[3:]
+            srcs = (v_hbm, v_hbm)
+            offs = (0, stacked)
+        else:
+            va_hbm, vb_hbm, olo_hbm, ohi_hbm = refs[:4]
+            vin, vlo, vhi, in_sem, out_sem = refs[4:]
+            srcs = (va_hbm, vb_hbm)
+            offs = (0, 0)
 
         def in_copies(i, slot):
             i, slot = _i32(i), _i32(slot)
             return [pltpu.make_async_copy(
-                srcs[j].at[:, pl.ds(i * chunk, chunk)],
+                srcs[j].at[:, pl.ds(i * chunk + _i32(offs[j]), chunk)],
                 vin.at[slot, _i32(j)], in_sem.at[slot, _i32(j)])
                 for j in range(2)]
 
@@ -451,19 +464,26 @@ def _make_fold2_mul_kernel(R, n_chunks, chunk, signed=True):
     return kern
 
 
-def fold_end2_mul_dma(Va, Vb, R, chunk=256, interpret=False, signed=True):
+def fold_end2_mul_dma(Va, Vb=None, R=None, chunk=256, interpret=False,
+                      signed=True):
     """(fold(Va) * fold(Vb)) mod q, fused: int32 [K*R, cols] x2 -> u64
     [R, cols].  Replaces fold_end(Va), fold_end(Vb) and the pointwise
-    kernel in the full multiply."""
-    cols = Va.shape[1]
+    kernel in the full multiply.
+
+    With Vb=None, Va holds BOTH operands stacked side by side
+    ([K*R, 2*cols], operand b in the right half); the kernel reads each
+    half via DMA column offsets."""
+    stacked = Vb is None
+    cols = Va.shape[1] // 2 if stacked else Va.shape[1]
     chunk = min(chunk, cols)
     while cols % chunk:
         chunk //= 2
     n_chunks = cols // chunk
     KR = Va.shape[0]
     pcall = pl.pallas_call(
-        _make_fold2_mul_kernel(R, n_chunks, chunk, signed),
-        in_specs=[_ANY, _ANY],
+        _make_fold2_mul_kernel(R, n_chunks, chunk, signed,
+                               stacked=cols if stacked else 0),
+        in_specs=[_ANY] if stacked else [_ANY, _ANY],
         out_specs=(_ANY, _ANY),
         out_shape=(jax.ShapeDtypeStruct((R, cols), jnp.uint32),
                    jax.ShapeDtypeStruct((R, cols), jnp.uint32)),
@@ -476,7 +496,7 @@ def fold_end2_mul_dma(Va, Vb, R, chunk=256, interpret=False, signed=True):
         ],
         interpret=interpret,
     )
-    lo, hi = pcall(Va, Vb)
+    lo, hi = pcall(Va) if stacked else pcall(Va, Vb)
     return _pack_u64(lo, hi)
 
 
@@ -689,7 +709,8 @@ class Mxu2PallasNTT(Mxu2NTT):
     def __init__(self, N: int = 1 << 16, n1=None, interpret: bool = False,
                  pointwise_pallas: bool = False, dma_folds: bool = False,
                  fold_chunk: int = 512, fuse_transpose: bool = True,
-                 fuse_pointwise: bool = False, unsigned: bool = True):
+                 fuse_pointwise: bool = False, unsigned: bool = True,
+                 stack_forward: bool = False):
         super().__init__(N, n1, unsigned)
         self.interpret = interpret
         self.pointwise_pallas = pointwise_pallas
@@ -697,6 +718,7 @@ class Mxu2PallasNTT(Mxu2NTT):
         self.fold_chunk = fold_chunk
         self.fuse_transpose = fuse_transpose
         self.fuse_pointwise = fuse_pointwise
+        self.stack_forward = stack_forward
         self._tw32 = {}
         for name, tab in (("tw", self.tw), ("twi", self.twi)):
             v = jax.lax.bitcast_convert_type(tab, jnp.uint32)
@@ -759,14 +781,35 @@ class Mxu2PallasNTT(Mxu2NTT):
         tw = self._c(c, "tw", self.tw)
         w1 = self._c(c, "w1", None)
         w2 = self._c(c, "w2", None)
-        mids = []
-        for x in (a, b):
-            mid = self._lvl_tw_t(self.mat1, self._to_internal(x), tw, w1)
-            C, B, t = mid.shape
-            mids.append(self.mat2.dot(mid.reshape(C, B * t), w2))
-        prod = fold_end2_mul_dma(mids[0], mids[1], self.mat2.R,
-                                 chunk=min(self.fold_chunk, 256),
-                                 interpret=self.interpret,
-                                 signed=not self.unsigned)
+        if self.stack_forward:
+            # Both operands' forward transforms share the same constant
+            # weight matrices, so run them as ONE stacked batch: one
+            # level-1 dot, one twiddled fold kernel and one level-2 dot
+            # at 2x columns instead of two of each (fewer kernel
+            # launches; identical MACs and fold work).  Column order of
+            # the stacked V is (b2, t) with operand a at b2 < B, so the
+            # fold2 kernel reads each operand's half via DMA offsets.
+            ab = jnp.concatenate(
+                [self._to_internal(a), self._to_internal(b)], axis=1)
+            mid = self._lvl_tw_t(self.mat1, ab, tw, w1)   # [t, 2B, R]
+            C, B2, t = mid.shape
+            B = B2 // 2
+            V = self.mat2.dot(mid.reshape(C, B2 * t), w2)
+            prod = fold_end2_mul_dma(V, None, self.mat2.R,
+                                     chunk=min(self.fold_chunk, 256),
+                                     interpret=self.interpret,
+                                     signed=not self.unsigned)
+            t = self.mat1.R   # post-transpose minor axis (= N1)
+        else:
+            mids = []
+            for x in (a, b):
+                mid = self._lvl_tw_t(self.mat1, self._to_internal(x), tw,
+                                     w1)
+                C, B, t = mid.shape
+                mids.append(self.mat2.dot(mid.reshape(C, B * t), w2))
+            prod = fold_end2_mul_dma(mids[0], mids[1], self.mat2.R,
+                                     chunk=min(self.fold_chunk, 256),
+                                     interpret=self.interpret,
+                                     signed=not self.unsigned)
         prod = prod.reshape(self.mat2.R, B, t)
         return self._from_internal(self.inverse_internal(prod, c))

@@ -87,29 +87,38 @@ def _i32(x):
 
 
 def _make_bb_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
-                             transpose_out=False, mul2=False, signed=True):
+                             transpose_out=False, mul2=False, signed=True,
+                             stacked=0):
     """Single-plane DMA-looped fold kernel (see pallas_fold.py twin).
 
     mul2: two bucket-plane inputs, fold both and emit their Montgomery
-    product (the forward end-folds + slot product fused)."""
+    product (the forward end-folds + slot product fused).  With
+    ``stacked`` set (mul2 only), ONE input holds both operands side by
+    side ([K*R, 2*cols], operand j at column offset j*stacked) and the
+    kernel DMAs each half directly."""
     twiddled = t is not None
     n_in = 2 if mul2 else 1
+    n_hbm = 1 if (mul2 and stacked) else n_in
     ochunk = bc * R if (transpose_out and twiddled) else chunk
 
     def kern(*refs):
-        srcs = refs[:n_in]
+        srcs = refs[:n_hbm]
+        rest = refs[n_hbm:]
+        if stacked:
+            srcs = (srcs[0], srcs[0])
+        offs = (0, stacked) if stacked else (0,) * n_in
         if twiddled:
-            tw = refs[n_in]
-            o_hbm = refs[n_in + 1]
-            vin, vout, in_sem, out_sem = refs[n_in + 2:]
+            tw = rest[0]
+            o_hbm = rest[1]
+            vin, vout, in_sem, out_sem = rest[2:]
         else:
-            o_hbm = refs[n_in]
-            vin, vout, in_sem, out_sem = refs[n_in + 1:]
+            o_hbm = rest[0]
+            vin, vout, in_sem, out_sem = rest[1:]
 
         def in_copies(i, slot):
             i, slot = _i32(i), _i32(slot)
             return [pltpu.make_async_copy(
-                srcs[j].at[:, pl.ds(i * chunk, chunk)],
+                srcs[j].at[:, pl.ds(i * chunk + _i32(offs[j]), chunk)],
                 vin.at[slot, _i32(j)], in_sem.at[slot, _i32(j)])
                 for j in range(n_in)]
 
@@ -166,9 +175,9 @@ def _make_bb_fold_dma_kernel(R, n_chunks, chunk, t=None, bc=None,
 
 
 def _bb_fold_dma(Vs, R, chunk, tw=None, bc=4, transpose_out=False,
-                 interpret=False, signed=True):
-    mul2 = len(Vs) == 2
-    cols = Vs[0].shape[1]
+                 interpret=False, signed=True, stacked=False):
+    mul2 = len(Vs) == 2 or stacked
+    cols = Vs[0].shape[1] // 2 if stacked else Vs[0].shape[1]
     if tw is not None:
         t = tw.shape[1]
         chunk = min(chunk, cols)
@@ -186,16 +195,17 @@ def _bb_fold_dma(Vs, R, chunk, tw=None, bc=4, transpose_out=False,
     n_chunks = cols // chunk
     KR = Vs[0].shape[0]
     kern = _make_bb_fold_dma_kernel(R, n_chunks, chunk, t, bc,
-                                    transpose_out, mul2, signed)
-    n_in = len(Vs)
+                                    transpose_out, mul2, signed,
+                                    stacked=cols if stacked else 0)
+    n_in = 2 if mul2 else 1
     if transpose_out and tw is not None:
         out_shape = (t, (cols // t) * R)
         vshape = (2, t, bc * R)
     else:
         out_shape = (R, cols)
         vshape = (2, R, chunk)
-    in_specs = [_ANY] * n_in + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
-                                if tw is not None else [])
+    in_specs = [_ANY] * len(Vs) + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
+                                   if tw is not None else [])
     pcall = pl.pallas_call(
         kern,
         in_specs=in_specs,
@@ -228,9 +238,16 @@ def bb_fold_tw_dma(V, tw, R, chunk=2048, transpose_out=False,
                         signed=signed)
 
 
-def bb_fold_end2_mul_dma(Va, Vb, R, chunk=1024, interpret=False,
+def bb_fold_end2_mul_dma(Va, Vb=None, R=None, chunk=1024, interpret=False,
                          signed=True):
-    """(fold(Va) * fold(Vb)) Montgomery product, fused in one kernel."""
+    """(fold(Va) * fold(Vb)) Montgomery product, fused in one kernel.
+
+    With Vb=None, Va holds BOTH operands stacked side by side
+    ([K*R, 2*cols], operand b in the right half) and the kernel reads
+    each half via DMA column offsets."""
+    if Vb is None:
+        return _bb_fold_dma((Va,), R, chunk, interpret=interpret,
+                            signed=signed, stacked=True)
     return _bb_fold_dma((Va, Vb), R, chunk, interpret=interpret,
                         signed=signed)
 
@@ -247,12 +264,14 @@ class MxuBBPallasNTT(MxuBBNTT):
 
     def __init__(self, N: int = 1 << 12, n1=None, interpret: bool = False,
                  fold_chunk: int = 2048, fuse_transpose: bool = True,
-                 fuse_pointwise: bool = True, unsigned: bool = True):
+                 fuse_pointwise: bool = True, unsigned: bool = True,
+                 stack_forward: bool = False):
         super().__init__(N, n1, unsigned)
         self.interpret = interpret
         self.fold_chunk = fold_chunk
         self.fuse_transpose = fuse_transpose
         self.fuse_pointwise = fuse_pointwise
+        self.stack_forward = stack_forward
 
     def _fold_end(self, mat, V, B, t):
         y = bb_fold_end_dma(V, mat.R, chunk=self.fold_chunk,
@@ -285,14 +304,33 @@ class MxuBBPallasNTT(MxuBBNTT):
         tw = self._c(c, "tw", self.tw)
         w1 = self._c(c, "w1", None)
         w2 = self._c(c, "w2", None)
-        mids = []
-        for x in (a, b):
-            mid = self._lvl_tw_t(self.mat1, self._to_internal(x), tw, w1)
-            C, B, t = mid.shape
-            mids.append(self.mat2.dot(mid.reshape(C, B * t), w2))
-        prod = bb_fold_end2_mul_dma(mids[0], mids[1], self.mat2.R,
-                                    chunk=min(self.fold_chunk, 1024),
-                                    interpret=self.interpret,
-                                    signed=not self.unsigned)
+        if self.stack_forward:
+            # One stacked forward for both operands (see
+            # pallas_fold.Mxu2PallasNTT.mul): shared weight matrices ->
+            # one dot/fold pair at 2x columns; the fold2 kernel reads
+            # each operand's half of the stacked buckets via DMA
+            # offsets.
+            ab = jnp.concatenate(
+                [self._to_internal(a), self._to_internal(b)], axis=1)
+            mid = self._lvl_tw_t(self.mat1, ab, tw, w1)
+            C, B2, t = mid.shape
+            B = B2 // 2
+            V = self.mat2.dot(mid.reshape(C, B2 * t), w2)
+            prod = bb_fold_end2_mul_dma(V, None, self.mat2.R,
+                                        chunk=min(self.fold_chunk, 1024),
+                                        interpret=self.interpret,
+                                        signed=not self.unsigned)
+            t = self.mat1.R
+        else:
+            mids = []
+            for x in (a, b):
+                mid = self._lvl_tw_t(self.mat1, self._to_internal(x), tw,
+                                     w1)
+                C, B, t = mid.shape
+                mids.append(self.mat2.dot(mid.reshape(C, B * t), w2))
+            prod = bb_fold_end2_mul_dma(mids[0], mids[1], self.mat2.R,
+                                        chunk=min(self.fold_chunk, 1024),
+                                        interpret=self.interpret,
+                                        signed=not self.unsigned)
         prod = prod.reshape(self.mat2.R, B, t)
         return self._from_internal(self.inverse_internal(prod, c))

@@ -171,3 +171,14 @@ def test_mxu2_fused_pointwise_interpret(data):
     tp = Mxu2PallasNTT(N, interpret=True, dma_folds=True, fold_chunk=128,
                        pointwise_pallas=True, fuse_pointwise=True)
     assert np.array_equal(np.asarray(tp.mul(a, b)), want)
+
+
+def test_mxu2_stacked_forward_interpret(data):
+    """stack_forward (e38): both operands' forward transforms through
+    ONE stacked dot/fold pair, the fold2 kernel reading each operand's
+    bucket half via DMA column offsets — must be bit-identical."""
+    a, b, want = data
+    tp = Mxu2PallasNTT(N, interpret=True, dma_folds=True, fold_chunk=128,
+                       pointwise_pallas=True, fuse_pointwise=True,
+                       stack_forward=True)
+    assert np.array_equal(np.asarray(tp.mul(a, b)), want)

@@ -12,15 +12,18 @@ from stark_rings_tpu.ops.mxu_bb import MxuBBNTT, _Q
 from stark_rings_tpu.ops.pallas_fold_bb import MxuBBPallasNTT
 
 
-@pytest.mark.parametrize("fuse_transpose,fuse_pointwise",
-                         [(False, False), (True, False), (True, True)])
-def test_bb_pallas_mul_matches_xla_fold(fuse_transpose, fuse_pointwise):
+@pytest.mark.parametrize("fuse_transpose,fuse_pointwise,stack_forward",
+                         [(False, False, False), (True, False, False),
+                          (True, True, False), (True, True, True)])
+def test_bb_pallas_mul_matches_xla_fold(fuse_transpose, fuse_pointwise,
+                                        stack_forward):
     N, B = 1 << 12, 2
     rng = np.random.default_rng(7)
     a = jnp.asarray(rng.integers(0, _Q, size=(B, N), dtype=np.uint32))
     b = jnp.asarray(rng.integers(0, _Q, size=(B, N), dtype=np.uint32))
     want = np.asarray(jax.jit(MxuBBNTT(N).mul)(a, b))
     tp = MxuBBPallasNTT(N, interpret=True, fuse_transpose=fuse_transpose,
-                        fuse_pointwise=fuse_pointwise)
+                        fuse_pointwise=fuse_pointwise,
+                        stack_forward=stack_forward)
     got = np.asarray(jax.jit(tp.mul)(a, b))
     assert (got == want).all()
