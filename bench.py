@@ -281,6 +281,9 @@ def babybear_pow2_rate(N=1 << 12, B=4096):
 
     ring = get_power_ring("babybear", N.bit_length() - 1)
     tx = ring.mxu_ctx()
+    c = jax.device_put(tx.consts())   # tables as ARGUMENTS: constant-
+    #                                   weight dots compile ~2.7x slower
+    #                                   on this stack (e41)
     rng = np.random.default_rng(2)
     q = ring.field.q
 
@@ -291,11 +294,11 @@ def babybear_pow2_rate(N=1 << 12, B=4096):
                                           dtype=np.uint32))
               for _ in range(depth)]
 
-        def fn(x, bs):
+        def fn(cc, x, bs):
             for i in range(depth):
-                x = tx.mul(x, bs[i])
+                x = tx.mul(x, bs[i], cc)
             return x
-        return jax.jit(fn), (a, bs)
+        return jax.jit(fn), (c, a, bs)
 
     rate, _ = chain_rate(build, B, lo=1, hi=5, reps=2)
     return round(rate, 1)
@@ -312,6 +315,7 @@ def stark_pow2_rate(N=1 << 12, B=256):
 
     ring = get_power_ring("stark_prime", N.bit_length() - 1)
     tx = ring.mxu_ctx()
+    c = jax.device_put(tx.consts())   # tables as ARGUMENTS (e41)
     rng = np.random.default_rng(3)
 
     def rand(nb):
@@ -324,11 +328,11 @@ def stark_pow2_rate(N=1 << 12, B=256):
         a = rand(B)
         bs = [rand(B) for _ in range(depth)]
 
-        def fn(x, bs):
+        def fn(cc, x, bs):
             for i in range(depth):
-                x = tx.mul(x, bs[i])
+                x = tx.mul(x, bs[i], cc)
             return x
-        return jax.jit(fn), (a, bs)
+        return jax.jit(fn), (c, a, bs)
 
     rate, _ = chain_rate(build, B, lo=1, hi=3, reps=2)
     return round(rate, 1)
@@ -338,11 +342,12 @@ def model_rates():
     """Per-reference-model fused-CRT multiply throughput: in-module
     depth-differenced chains of icrt(ntt_mul(crt(x), crt(y))).
 
-    Extension models (E > 1) run in the batch-trailing layout
-    (ops/model_mul.TModelMul): the slot product's elementwise ops get
-    the batch axis minor-most, measured +14-33% over batch-leading
-    (experiments/e28).  The limbed stark model keeps batch-leading
-    (its limb slicing loses in the transposed layout).  Each model's
+    All four models run in the batch-trailing layout
+    (ops/model_mul.TModelMul) with the digit tables passed as jit
+    arguments: the slot product's elementwise ops get the batch axis
+    minor-most (+14-33% over batch-leading, e28), and argument tables
+    beat closure constants by 1.2-1.6x (e42/e42b — with them even the
+    limbed stark model wins transposed, 30.8M vs 25.4M).  Each model's
     path is gated bit-exact vs the integer spec before its rate is
     recorded."""
     import jax
@@ -363,8 +368,8 @@ def model_rates():
             ring = get_ring(name)
             f = ring.field
             rng = np.random.default_rng(1)
-            use_t = ring.E > 1
-            tm = TModelMul(ring) if use_t else None
+            use_t = True
+            tm = TModelMul(ring)
 
             def rand(nb):
                 if f.limbed:
@@ -392,17 +397,21 @@ def model_rates():
                     [int(v) % ring.q for v in want], \
                     f"{name} model-mul mismatch vs spec"
 
+            # digit tables as jit ARGUMENTS: constant-weight dots
+            # compile 1.1-2.7x slower on this stack (e41/e42)
+            cm = jax.device_put(tm.consts()) if tm is not None else None
+
             def build(depth):
                 if use_t:
                     a = jax.device_put(tm.to_t(rand(B)))
                     bs = [jax.device_put(tm.to_t(rand(B)))
                           for _ in range(depth)]
 
-                    def fn(x, bs):
+                    def fn(cc, x, bs):
                         for i in range(depth):
-                            x = tm.mul_t(x, bs[i])
+                            x = tm.mul_t(x, bs[i], cc)
                         return x
-                    return jax.jit(fn), (a, bs)
+                    return jax.jit(fn), (cm, a, bs)
                 a = rand(B)
                 bs = [rand(B) for _ in range(depth)]
 

@@ -94,32 +94,40 @@ class TModelMul:
             outs.append((lo & np.uint32(0x7F)).astype(jnp.int8))
         return jnp.stack(outs, axis=0).reshape(core.P * core.C, -1)
 
-    def _apply_t(self, core, xt):
+    def consts(self):
+        """The digit-plane weight tables as a pytree, to pass as jit
+        ARGUMENTS (device_put once per closure): constant-weight dots
+        compile ~2-3x slower on this stack (e41/e42)."""
+        return {"crt": np.asarray(self._crt.big),
+                "icrt": np.asarray(self._icrt.big)}
+
+    def _apply_t(self, core, xt, big=None):
         """core @ xt in the batch-trailing layout, canonical/storage out.
 
         All prescaled cores compute on [C, B]-major data internally; this
         skips their batch-leading wrapper transposes entirely.  Batch
         axes beyond the first are flattened for the dot and restored."""
+        w = jnp.asarray(core.big) if big is None else big
         if self.f.limbed:
             bshape = xt.shape[1:-1]
             x2 = xt.reshape((core.C, -1) + self.f.limb_shape)
-            V = jax.lax.dot(jnp.asarray(core.big),
-                            self._limb_planes(core, x2),
+            V = jax.lax.dot(w, self._limb_planes(core, x2),
                             preferred_element_type=jnp.int32)
             y = core.fold(V)                       # [R, B, L]
             return y.reshape((core.R,) + bshape + self.f.limb_shape)
         bshape = xt.shape[1:]
-        V = jax.lax.dot(jnp.asarray(core.big),
-                        core.planes(xt.reshape(core.C, -1)),
+        V = jax.lax.dot(w, core.planes(xt.reshape(core.C, -1)),
                         preferred_element_type=jnp.int32)
         return core.fold(V).reshape((core.R,) + bshape)
 
-    def crt_t(self, xt):
+    def crt_t(self, xt, c=None):
         """coeff [D, B(, L)] -> NTT form [D, B(, L)]."""
-        return self._apply_t(self._crt, xt)
+        return self._apply_t(self._crt, xt,
+                             None if c is None else c["crt"])
 
-    def icrt_t(self, yt):
-        return self._apply_t(self._icrt, yt)
+    def icrt_t(self, yt, c=None):
+        return self._apply_t(self._icrt, yt,
+                             None if c is None else c["icrt"])
 
     def ntt_mul_t(self, at, bt):
         """Slot-wise extension multiply, batch minor-most.
@@ -193,10 +201,11 @@ class TModelMul:
                                xt.transpose(0, 2, 1)[:, :, :, None])
         return f.sum(prod, axis=1)                   # [D, W, n]
 
-    def mul_t(self, at, bt):
+    def mul_t(self, at, bt, c=None):
         """Transposed coeff-form multiply: icrt(crt(a) *slot crt(b))."""
-        return self.icrt_t(self.ntt_mul_t(self.crt_t(at), self.crt_t(bt)))
+        return self.icrt_t(self.ntt_mul_t(self.crt_t(at, c),
+                                          self.crt_t(bt, c)), c)
 
     # -- batch-leading convenience (pays both transposes) -----------------
-    def mul(self, a, b):
-        return self.from_t(self.mul_t(self.to_t(a), self.to_t(b)))
+    def mul(self, a, b, c=None):
+        return self.from_t(self.mul_t(self.to_t(a), self.to_t(b), c))

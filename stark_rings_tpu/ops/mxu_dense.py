@@ -143,10 +143,13 @@ class Mont64PrescaledMat:
             return t
         return self.f.sub(t, jnp.full_like(t, self._bias_red))
 
-    def __call__(self, x):
+    def __call__(self, x, big=None):
+        """``big`` passes the digit planes as a traced ARGUMENT:
+        constant-weight dots compile 1.1-2.7x slower (e41/e42)."""
         lead = x.shape[:-1]
         x2 = x.reshape(-1, self.C).T                    # [C, B]
-        V = jax.lax.dot(jnp.asarray(self.big), self.planes(x2),
+        w = jnp.asarray(self.big) if big is None else big
+        V = jax.lax.dot(w, self.planes(x2),
                         preferred_element_type=jnp.int32)
         y = self.fold(V)                                # [R, B]
         return y.T.reshape(lead + (self.R,))
@@ -176,10 +179,10 @@ class _Wrap2D:
         self.core = core
         self.R, self.C = core.R, core.C
 
-    def __call__(self, x):
+    def __call__(self, x, big=None):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, self.C).T
-        y = self.core.apply(x2)
+        y = self.core.fold(self.core.dot(x2, big))
         return y.T.reshape(lead + (self.R,))
 
 

@@ -183,11 +183,17 @@ class LimbPrescaledMat:
             return out
         return self.f.sub(out, self._bias_red)
 
-    def __call__(self, x):
-        """storage [..., C, L] -> [..., R, L] (DenseModMat interface)."""
+    def __call__(self, x, big=None):
+        """storage [..., C, L] -> [..., R, L] (DenseModMat interface).
+
+        ``big`` lets callers pass the digit-plane weights as a traced
+        argument instead of a closed-over constant — measured ~2.7x
+        faster end to end on the remote-compile stack (e41: XLA
+        compiles constant-weight dots to much slower code)."""
         lead = x.shape[:-2]
         x2 = x.reshape((-1,) + x.shape[-2:])            # [B, C, L]
-        V = jax.lax.dot(self.big, self.planes(x2),
+        w = self.big if big is None else big
+        V = jax.lax.dot(w, self.planes(x2),
                         preferred_element_type=jnp.int32)
         y = self.fold(V)                                # [R, B, L]
         return jnp.transpose(y, (1, 0, 2)).reshape(lead + (self.R, self.L))
@@ -261,33 +267,50 @@ class MxuLimbNTT:
         B = v.shape[0]
         return jnp.swapaxes(v, 1, 2).reshape(B, self.N, self.f.N_LIMBS)
 
-    def forward_internal(self, v):
+    # -- traced-constants plumbing (see Mxu2NTT.consts) --------------------
+    def consts(self):
+        """All weight/twiddle tables as a pytree, to pass as jit
+        ARGUMENTS: constant-weight dots compile ~2.7x slower on this
+        stack (e41)."""
+        return {"w1": self.mat1.big, "w2": self.mat2.big,
+                "w2i": self.mat2i.big, "w1i": self.mat1i.big,
+                "tw": self.tw, "twi": self.twi}
+
+    def _c(self, c, key):
+        return None if c is None else c[key]
+
+    def forward_internal(self, v, c=None):
         """[B, n2, n1, L] coeffs -> [B, k1, k2, L] evaluations."""
-        a = self.mat1(v)                       # contract n1 -> [B, n2, k1, L]
-        a = self.f.mul(a, self.tw)             # mid twiddle (broadcast)
+        a = self.mat1(v, self._c(c, "w1"))     # contract n1 -> [B, n2, k1, L]
+        tw = self.tw if c is None else c["tw"]
+        a = self.f.mul(a, tw)                  # mid twiddle (broadcast)
         a = jnp.swapaxes(a, 1, 2)              # [B, k1, n2, L]
-        return self.mat2(a)                    # contract n2 -> [B, k1, k2, L]
+        return self.mat2(a, self._c(c, "w2"))  # contract n2 -> [B, k1, k2, L]
 
-    def inverse_internal(self, y):
-        a = self.mat2i(y)                      # [B, k1, n2, L]
-        a = self.f.mul(a, self.twi)
+    def inverse_internal(self, y, c=None):
+        a = self.mat2i(y, self._c(c, "w2i"))   # [B, k1, n2, L]
+        twi = self.twi if c is None else c["twi"]
+        a = self.f.mul(a, twi)
         a = jnp.swapaxes(a, 1, 2)              # [B, n2, k1, L]
-        return self.mat1i(a)                   # [B, n2, n1, L]
+        return self.mat1i(a, self._c(c, "w1i"))  # [B, n2, n1, L]
 
-    def forward(self, x):
-        return self.forward_internal(self._to_internal(x))
+    def forward(self, x, c=None):
+        return self.forward_internal(self._to_internal(x), c)
 
-    def inverse(self, y):
-        return self._from_internal(self.inverse_internal(y))
+    def inverse(self, y, c=None):
+        return self._from_internal(self.inverse_internal(y, c))
 
-    def mul(self, a, b):
+    def mul(self, a, b, c=None):
         """[B, N, L] x [B, N, L] -> [B, N, L] negacyclic product."""
-        fa = self.forward(a)
-        fb = self.forward(b)
-        return self.inverse(self.f.mul(fa, fb))
+        fa = self.forward(a, c)
+        fb = self.forward(b, c)
+        return self.inverse(self.f.mul(fa, fb), c)
 
     def jit_mul(self):
+        """Jitted multiply with the tables passed as arguments
+        (device_put once)."""
         import jax as _jax
 
-        fn = _jax.jit(self.mul)
-        return fn
+        c = _jax.device_put(self.consts())
+        fn = _jax.jit(lambda cc, a, b: self.mul(a, b, cc))
+        return lambda a, b: fn(c, a, b)

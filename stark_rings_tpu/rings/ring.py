@@ -198,17 +198,29 @@ class RingModel:
         """Multiply every coefficient by a base-field scalar (storage)."""
         return self.field.mul(s, a)
 
-    def crt(self, x):
+    def mul_consts(self):
+        """The fused CRT/ICRT digit tables as a pytree.
+
+        device_put once and pass to ``crt/icrt(x, c=...)`` inside jits:
+        weight tables embedded as closure CONSTANTS compile 1.1-2.7x
+        slower than tables passed as jit arguments on the remote-compile
+        stack (experiments e41-e43)."""
+        crt, icrt = self._dense_crt
+        get = lambda m: np.asarray(getattr(m, "core", m).big)  # noqa: E731
+        return {"crt": get(crt), "icrt": get(icrt)}
+
+    def crt(self, x, c=None):
         """coeff -> NTT form (reference crt.rs:55-63); by default the
-        whole chain is one fused D x D modular matmul."""
+        whole chain is one fused D x D modular matmul.  ``c``: optional
+        ``mul_consts()`` pytree passed as a traced argument."""
         if self.use_dense_crt:
-            return self._dense_crt[0](x)
+            return self._dense_crt[0](x, None if c is None else c["crt"])
         return self.crt_staged(x)
 
-    def icrt(self, x):
+    def icrt(self, x, c=None):
         """NTT -> coeff form."""
         if self.use_dense_crt:
-            return self._dense_crt[1](x)
+            return self._dense_crt[1](x, None if c is None else c["icrt"])
         return self.icrt_staged(x)
 
     def crt_staged(self, x):
