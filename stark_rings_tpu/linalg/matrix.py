@@ -99,6 +99,16 @@ class Matrix:
         prod = self.e.mul(self.vals, v[None])
         return self.e.sum(prod, axis=1)
 
+    # try_* = checked_* here: both report dimension mismatch via
+    # AlgebraError (the reference splits Result-returning try_mul_* from
+    # panicking checked_* wrappers, matrix.rs:148-205; Python has one
+    # error channel, so the names alias).
+    def try_mul_vec(self, v):
+        return self.mul_vec(v)
+
+    def try_mul_mat(self, other):
+        return self.mul_mat(other)
+
     def gadget_decompose(self, b: int, k: int):
         """n x m -> n x (k*m) balanced gadget decomposition, column c*k+j
         holding digit j of column c (balanced_decomposition/mod.rs:276-298

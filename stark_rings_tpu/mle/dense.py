@@ -48,6 +48,17 @@ class DenseMLE:
         return cls(elems, num_vars, jnp.asarray(elems.encode(arr)))
 
     @classmethod
+    def from_evaluations_padded(cls, elems, num_vars, evals):
+        """from_evaluations_vec_padded (dense.rs:79-89): accept fewer than
+        2^num_vars evaluations and zero-pad the tail."""
+        n = 1 << num_vars
+        assert evals.shape[0] <= n
+        if evals.shape[0] < n:
+            pad = elems.zeros((n - evals.shape[0],))
+            evals = jnp.concatenate([evals, pad], axis=0)
+        return cls(elems, num_vars, evals)
+
+    @classmethod
     def rand(cls, elems, num_vars, rng):
         return cls(elems, num_vars, elems.rand((1 << num_vars,), rng))
 

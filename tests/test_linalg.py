@@ -207,3 +207,26 @@ def test_rounded_div_jnp():
     for a, b in itertools.product(vals, divs):
         got = int(rounded_div_jnp(np.int64(a), np.int64(b)))
         assert got == rounded_div(a, b), (a, b)
+
+
+def test_try_mul_aliases_raise_and_match():
+    """try_mul_vec/try_mul_mat (matrix.rs:180-205): same results as the
+    checked path, AlgebraError on dimension mismatch."""
+    from stark_rings_tpu.linalg import AlgebraError
+
+    f = get_field("goldilocks")
+    e = FieldElems(f)
+    rng = random.Random(77)
+    A = Matrix.rand(e, 3, 4, rng)
+    B = Matrix.rand(e, 4, 2, rng)
+    v = f.rand((4,), rng)
+    got = np.asarray(f.decode(A.try_mul_mat(B).vals))
+    want = np.asarray(f.decode(A.mul_mat(B).vals))
+    assert (got == want).all()
+    gv = np.asarray(f.decode(A.try_mul_vec(v)))
+    wv = np.asarray(f.decode(A.mul_vec(v)))
+    assert (gv == wv).all()
+    with pytest.raises(AlgebraError):
+        A.try_mul_mat(A)
+    with pytest.raises(AlgebraError):
+        A.try_mul_vec(f.rand((3,), rng))

@@ -267,3 +267,28 @@ def test_pallas_fix_last_matches_dense():
         got = np.asarray(
             fix_last_goldilocks_pallas(ev, pts, interpret=True))
         assert np.array_equal(want, got)
+
+
+@pytest.mark.parametrize("name", ["goldilocks", "stark_prime"])
+def test_dense_from_evaluations_padded(name):
+    """from_evaluations_vec_padded (dense.rs:79-89): short evaluation
+    vectors zero-pad to 2^num_vars; evaluation agrees with the explicitly
+    padded constructor (works for the limbed 252-bit field too)."""
+    f = get_field(name)
+    e = FieldElems(f)
+    q = f.q
+    rng = random.Random(78)
+    nv = 4
+    short = [rng.randrange(q) for _ in range(11)]
+    evals = f.encode(np.array(short, dtype=object))
+    import jax.numpy as jnp
+
+    mle = DenseMLE.from_evaluations_padded(e, nv, jnp.asarray(evals))
+    assert mle.evals.shape[0] == 1 << nv
+    full = DenseMLE.from_ints(e, nv, np.array(short, dtype=object))
+    point = [f.encode(np.array(rng.randrange(q), dtype=object))
+             for _ in range(nv)]
+    assert int(f.decode(mle.evaluate(point))) == \
+        int(f.decode(full.evaluate(point)))
+    padded = [int(v) for v in f.decode(mle.evals)]
+    assert padded == short + [0] * (16 - 11)
