@@ -1,7 +1,16 @@
-"""Pallas TPU kernels for the Goldilocks NTT hot path.
+"""Pallas u32-pair primitives for Goldilocks + the full-VMEM NTT kernel.
 
-The jnp path emulates uint64 through XLA and materializes every butterfly
-stage to HBM; these kernels instead:
+STATUS (round 2): the u32-pair modular primitives here (`_mul_q`,
+`_reduce128`, `_add_q`, `_sub_q`, `_mul32`) are the building blocks of
+the PRODUCTION fold/twiddle kernels (ops/pallas_fold.py — the bench
+primary path), the BabyBear folds (ops/pallas_fold_bb.py) and the MLE
+fix kernel (mle/pallas_fix.py).  The full `GoldilocksPallasNTT`
+transform class below LOST to XLA's own u64 emulation end-to-end
+(0.35x, PERF_NOTES "Findings") and is kept as tested substrate and a
+second independent implementation for cross-checking — it is not on
+any runtime path.
+
+The original design notes (still true of the kernels themselves):
 
 * keep field elements as two u32 planes (lo, hi) — native VPU words, no
   int64 emulation;
