@@ -155,10 +155,10 @@ def main():
 
     try:
         rate, _ = chain_rate(build_mle, 1, lo=1, hi=5, reps=3)
-        out["mle20_full_evaluate_per_s"] = round(rate, 2)
+        out["mle20_full_evaluate_xla_halving_per_s"] = round(rate, 2)
     except Exception as exc:  # noqa
         print(f"mle bench failed: {exc}", file=sys.stderr)
-        out["mle20_full_evaluate_per_s"] = None
+        out["mle20_full_evaluate_xla_halving_per_s"] = None
 
     # ---- same, via the one-kernel Pallas evaluation (mle/pallas_fix) ----
     from stark_rings_tpu.mle.pallas_fix import evaluate_goldilocks_pallas

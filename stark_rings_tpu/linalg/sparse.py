@@ -6,11 +6,11 @@ Padding entries carry zero data (and row/col 0), which is harmless for all
 ops here because the modular segment-sum adds zeros.
 
 * mat-vec (sparse_matrix.rs:202-217): gather + modular segment-sum.
-* sparse·sparse (merge-join in the reference, :219-275): here via the
-  capability-equivalent gather/scatter product, densifying only the result
-  accumulator (result sparsity of the reference's algorithm is data
-  dependent — a static-shape TPU kernel must pick a bound; we keep the
-  dense accumulator and re-sparsify on host when needed).
+* sparse·sparse (merge-join in the reference, :219-275): ``mul_sparse``
+  keeps an O(nnz) SPARSE result — a host-side equi-join of A's column
+  indices with B's row indices (static data, never traced) followed by
+  one device gather-multiply + modular segment-sum over the matched term
+  pairs.  The dense accumulator is never materialized.
 """
 
 from __future__ import annotations

@@ -47,6 +47,27 @@ class SymmetricMatrix:
         return cls(elems, n, vals)
 
     @classmethod
+    def from_fn(cls, elems, n, func, vectorized=False):
+        """Build entry (i, j) as ``func(i, j)`` over the packed lower
+        triangle — the ``from_par_fn`` parallel constructor
+        (symmetric_matrix.rs:77-89).  The rayon parallelism becomes a
+        batched call: with ``vectorized=True`` func receives the full
+        int32 index arrays ``(ii, jj)`` of shape [n(n+1)/2] and must
+        return the packed values in one shot (the TPU-idiomatic form);
+        otherwise func(i, j) is called per entry and must return a
+        python-int (or per-element) value."""
+        ii = np.array([i for i in range(n) for _ in range(i + 1)],
+                      dtype=np.int32)
+        jj = np.array([j for i in range(n) for j in range(i + 1)],
+                      dtype=np.int32)
+        if vectorized:
+            return cls(elems, n, func(ii, jj))
+        flat = np.array([func(int(i), int(j)) for i, j in zip(ii, jj)],
+                        dtype=object)
+        vals = elems.encode(flat) if len(flat) else elems.zeros((0,))
+        return cls(elems, n, vals)
+
+    @classmethod
     def from_dense_vals(cls, elems, dense):
         n = dense.shape[0]
         idx = np.array([i * (i + 1) // 2 + j

@@ -49,11 +49,13 @@ class DenseMLE:
 
     @classmethod
     def from_evaluations_padded(cls, elems, num_vars, evals):
-        """from_evaluations_vec_padded (dense.rs:79-89): accept fewer than
-        2^num_vars evaluations and zero-pad the tail."""
+        """from_evaluations_vec_padded (dense.rs:79-89): resize to exactly
+        2^num_vars evaluations — zero-pad a short input, truncate a long
+        one (``Vec::resize`` semantics)."""
         n = 1 << num_vars
-        assert evals.shape[0] <= n
-        if evals.shape[0] < n:
+        if evals.shape[0] > n:
+            evals = evals[:n]
+        elif evals.shape[0] < n:
             pad = elems.zeros((n - evals.shape[0],))
             evals = jnp.concatenate([evals, pad], axis=0)
         return cls(elems, num_vars, evals)

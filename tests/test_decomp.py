@@ -10,6 +10,9 @@ import random
 import numpy as np
 import pytest
 
+import jax
+import jax.numpy as jnp
+
 from stark_rings_tpu.decomp import (
     center,
     decompose,
@@ -19,7 +22,7 @@ from stark_rings_tpu.decomp import (
     recompose,
     sign,
 )
-from stark_rings_tpu.fields import FIELDS, get_field
+from stark_rings_tpu.fields import FIELDS, Field, get_field
 from stark_rings_tpu.spec.decomp import (
     decompose_balanced_fixed,
     decompose_balanced_ref,
@@ -121,3 +124,71 @@ def test_center_sign(name):
         s = to_signed(v, q)
         assert got_c[i] == abs(s) % q, (name, v)
         assert got_s[i] == (1 if s >= 0 else q - 1), (name, v)
+
+
+# -- full-range device roundtrip over a small synthetic modulus ----------
+# Mirrors the reference's test_decompose_balanced exactly
+# (balanced_decomposition/mod.rs:405-422): EVERY value of F_65537, the 5
+# test bases [2, 4, 8, 16, 32], digit-bound + recompose==id — but as ONE
+# jitted device call per basis instead of 65537 scalar loops.
+
+
+class _F65537(Field):
+    """Minimal canonical-storage prime field for the exhaustive test."""
+
+    dtype = jnp.uint64
+
+    def __init__(self):
+        super().__init__("f65537", 65537)
+        self._q = np.uint64(self.q)
+
+    def encode(self, ints):
+        arr = np.asarray(ints, dtype=object)
+        flat = arr.reshape(-1) if arr.shape else arr.reshape(1)
+        out = np.empty(flat.size, dtype=np.uint64)
+        for i, v in enumerate(flat):
+            out[i] = np.uint64(int(v) % self.q)
+        return out.reshape(arr.shape) if arr.shape else out[0]
+
+    def decode(self, x):
+        host = np.asarray(jax.device_get(x))
+        out = np.empty(host.size, dtype=object)
+        for i, v in enumerate(host.reshape(-1)):
+            out[i] = int(v)
+        return out.reshape(host.shape)
+
+    def from_uint(self, x):
+        return jnp.asarray(x).astype(jnp.uint64) % self._q
+
+    def add(self, a, b):
+        return (a + b) % self._q
+
+    def sub(self, a, b):
+        return (a + self._q - b) % self._q
+
+    def neg(self, a):
+        return jnp.where(a == 0, a, self._q - a)
+
+    def mul(self, a, b):
+        return (a * b) % self._q   # products < 2^34 fit u64 exactly
+
+
+def test_full_range_decompose_recompose_device():
+    f = _F65537()
+    q = f.q
+    x = jnp.arange(q, dtype=jnp.uint64)          # EVERY field value
+    for b in (2, 4, 8, 16, 32):
+        k = 32                                    # reference uses 32 digits
+
+        @jax.jit
+        def both(x, b=b, k=k):
+            dig = decompose(f, x, b, k)           # [q, k]
+            back = recompose(f, dig, b)
+            # digit bound: centered |d| <= b/2  <=>  d <= b/2 or d >= q-b/2
+            ok_bound = jnp.all((dig <= np.uint64(b // 2)) |
+                               (dig >= np.uint64(q - b // 2)))
+            return ok_bound, jnp.all(back == x)
+
+        ok_bound, ok_rt = both(x)
+        assert bool(ok_bound), f"digit bound violated, b={b}"
+        assert bool(ok_rt), f"recompose != id, b={b}"

@@ -75,10 +75,11 @@ def test_fuzz_add_sub_rot(name):
 
 
 # -- reference-volume consistency (goldilocks/ntt.rs:801-806 runs 10^6
-# scalar iterations; here 10^4 elements per model go through ONE jitted
-# batched call — the TPU-native equivalent volume) ----------------------
+# scalar iterations; here 10^5 ring elements per model (2.4-7.2 x 10^6
+# base-field coefficients) go through ONE jitted batched call — the
+# TPU-native equivalent volume) -----------------------------------------
 
-VOLUME = 10_000
+VOLUME = 100_000
 # the 252-bit prime's CIOS limb arithmetic makes volume graphs compile
 # for minutes on CPU; stark runs under -m slow (the default suite still
 # covers stark through the 16-element fuzz tests above)
@@ -144,3 +145,67 @@ def test_volume_crt_roundtrip_stark_full():
         return ring.icrt(ring.crt(x))
 
     assert (np.asarray(rt(a)) == np.asarray(a)).all()
+
+
+# -- 10^6-slot extension-field multiply vs an independent polymul oracle
+# (babybear/ntt.rs:716-748 runs 10^6 Fq9 muls against generic polynomial
+# multiplication mod X^9 - nonresidue; same volume here per model, one
+# jitted device call, with the oracle written from the mathematical
+# definition — no shared tables with ring.ntt_mul's probed gather/factor
+# formulation) -----------------------------------------------------------
+
+
+EXT_MODELS = [n for n in MODELS if MODELS[n].E > 1]
+
+
+def _ext_polymul_oracle(ring, a, b):
+    """Slot field mul as literal polymul mod (X^E - nr), degree order.
+
+    a, b: storage [..., N, E]; returns the same shape.  Conjugates by the
+    model's storage permutation, then c[k] = sum_{i+j=k} a_i b_j
+    + nr * sum_{i+j=k+E} a_i b_j, spelled with explicit python loops
+    over the (tiny, static) E axis."""
+    import jax.numpy as jnp
+
+    f = ring.field
+    spec = ring.spec
+    E = spec.E
+    perm = list(spec.storage_perm)
+    inv_perm = [0] * E
+    for i, p in enumerate(perm):
+        inv_perm[p] = i
+    nr = f.encode(np.array(spec.nr % spec.q, dtype=object))
+    ad = [a[..., p] for p in perm]
+    bd = [b[..., p] for p in perm]
+    out = []
+    for k in range(E):
+        lo = None
+        for i in range(k + 1):
+            t = f.mul(ad[i], bd[k - i])
+            lo = t if lo is None else f.add(lo, t)
+        hi = None
+        for i in range(k + 1, E):
+            t = f.mul(ad[i], bd[k + E - i])
+            hi = t if hi is None else f.add(hi, t)
+        c = lo if hi is None else f.add(lo, f.mul(nr, hi))
+        out.append(c)
+    return jnp.stack([out[i] for i in inv_perm], axis=-1)
+
+
+@pytest.mark.parametrize("name", EXT_MODELS)
+def test_volume_ext_mul_vs_polymul_oracle(name):
+    ring = get_ring(name)
+    n_slots = 1_000_000
+    n = max(n_slots // ring.N, 1)
+    a = _rand_canonical_device(ring, n, (hash(name) >> 2) & 0xFFFF)
+    b = _rand_canonical_device(ring, n, (hash(name) >> 6) & 0xFFFF)
+
+    @jax.jit
+    def both(x, y):
+        fast = ring.ntt_mul(x, y)
+        xs = x.reshape(x.shape[:-1] + (ring.N, ring.E))
+        ys = y.reshape(y.shape[:-1] + (ring.N, ring.E))
+        slow = _ext_polymul_oracle(ring, xs, ys)
+        return (fast.reshape(slow.shape) == slow).all()
+
+    assert bool(both(a, b)), name

@@ -230,3 +230,22 @@ def test_try_mul_aliases_raise_and_match():
         A.try_mul_mat(A)
     with pytest.raises(AlgebraError):
         A.try_mul_vec(f.rand((3,), rng))
+
+
+def test_symmetric_from_fn():
+    """from_fn == the reference's from_par_fn (symmetric_matrix.rs:77-89):
+    entry (i, j) = func(i, j), both scalar and vectorized forms."""
+    import jax.numpy as jnp
+    from stark_rings_tpu.fields import GOLDILOCKS as F
+    from stark_rings_tpu.linalg import FieldElems, SymmetricMatrix
+
+    e = FieldElems(F)
+    n = 5
+    m = SymmetricMatrix.from_fn(e, n, lambda i, j: 10 * i + j)
+    mv = SymmetricMatrix.from_fn(
+        e, n, lambda ii, jj: jnp.asarray(10 * ii + jj, dtype=jnp.uint64),
+        vectorized=True)
+    for i in range(n):
+        for j in range(n):
+            assert int(F.decode(m.at(i, j))) == 10 * max(i, j) + min(i, j)
+            assert int(F.decode(mv.at(i, j))) == 10 * max(i, j) + min(i, j)

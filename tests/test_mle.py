@@ -292,3 +292,19 @@ def test_dense_from_evaluations_padded(name):
         int(f.decode(full.evaluate(point)))
     padded = [int(v) for v in f.decode(mle.evals)]
     assert padded == short + [0] * (16 - 11)
+
+
+def test_dense_from_evaluations_padded_truncates_long_input():
+    """Vec::resize semantics (dense.rs:79-89): an input LONGER than
+    2^num_vars is truncated, not rejected."""
+    import jax.numpy as jnp
+
+    f = get_field("goldilocks")
+    e = FieldElems(f)
+    rng = random.Random(79)
+    nv = 3
+    vals = [rng.randrange(f.q) for _ in range(13)]   # > 2^3
+    evals = jnp.asarray(f.encode(np.array(vals, dtype=object)))
+    mle = DenseMLE.from_evaluations_padded(e, nv, evals)
+    assert mle.evals.shape[0] == 8
+    assert [int(v) for v in f.decode(mle.evals)] == vals[:8]

@@ -27,3 +27,18 @@ def test_bb_pallas_mul_matches_xla_fold(fuse_transpose, fuse_pointwise,
                         stack_forward=stack_forward)
     got = np.asarray(jax.jit(tp.mul)(a, b))
     assert (got == want).all()
+
+
+def test_bb_pallas_odd_batch_and_small_degree():
+    """Odd batch (3) and a smaller power-of-two degree exercise the fold
+    kernels' chunk-splitting edge cases (cols not a multiple of the
+    default chunk)."""
+    for N, B in ((1 << 10, 3), (1 << 12, 5)):
+        rng = np.random.default_rng(N + B)
+        a = jnp.asarray(rng.integers(0, _Q, size=(B, N), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, _Q, size=(B, N), dtype=np.uint32))
+        want = np.asarray(jax.jit(MxuBBNTT(N).mul)(a, b))
+        tp = MxuBBPallasNTT(N, interpret=True, fuse_transpose=True,
+                            fuse_pointwise=True)
+        got = np.asarray(jax.jit(tp.mul)(a, b))
+        assert (got == want).all(), (N, B)

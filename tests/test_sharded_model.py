@@ -33,3 +33,26 @@ def test_sharded_model_mul_matches_local(name):
     got_n = np.asarray(smm.make_ntt_mul_fn()(na, nb))
     want_n = np.asarray(jax.jit(ring.ntt_mul)(na, nb))
     assert np.array_equal(got_n, want_n)
+
+
+@pytest.mark.parametrize("name", ["babybear", "frog"])
+def test_sharded_model_mul_other_models_and_consts_gate(name):
+    """The two remaining models through the sharded multiply, with the
+    result decoded and checked against the integer spec (not just the
+    local-replica path) on a couple of elements."""
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    ring = get_ring(name)
+    mesh = make_mesh(Pn)
+    smm = ShardedModelMul(ring, mesh)
+    rng = random.Random(9)
+    B = 16
+    a = np.asarray(ring.rand_coeff((B,), rng))
+    b = np.asarray(ring.rand_coeff((B,), rng))
+    got = ring.decode(smm.make_mul_fn()(a, b))
+    ai, bi = ring.decode(a), ring.decode(b)
+    for r in (0, B - 1):
+        want = ring.spec.coeff_mul([int(v) for v in ai[r]],
+                                   [int(v) for v in bi[r]])
+        assert [int(v) for v in got[r]] == [int(v) % ring.q for v in want]

@@ -52,3 +52,35 @@ def test_sumcheck_prover_verifies():
     assert int(F.decode(gv)) == int(F.decode(want_g))
     assert int(F.decode(hv)) == int(F.decode(want_h))
     assert int(F.decode(claim)) == int(F.decode(F.mul(gv, hv)))
+
+
+def test_sumcheck_verifier_rejects_perturbed_message():
+    """Red test: corrupting any single round message must break the
+    verifier's p0+p1 == claim chain (guards against a prover bug that a
+    prover-vs-replica equality test would replicate on both sides)."""
+    nv = 6
+    rng = random.Random(11)
+    e = FieldElems(F)
+    g = DenseMLE.rand(e, nv, rng)
+    h = DenseMLE.rand(e, nv, rng)
+    G, H = jnp.asarray(g.evals), jnp.asarray(h.evals)
+    chals = [jnp.asarray(np.uint64(rng.randrange(F.q))) for _ in range(nv)]
+    msgs, gv, hv = jax.jit(
+        lambda G, H: sumcheck_prove_with_challenges(F, G, H, chals))(G, H)
+    msgs = np.asarray(msgs)
+
+    def verify(msgs):
+        claim = F.sum(F.mul(G, H), axis=0)
+        for i in range(nv):
+            p0, p1, p2 = (jnp.asarray(msgs[i, j]) for j in range(3))
+            if int(F.decode(F.add(p0, p1))) != int(F.decode(claim)):
+                return False
+            claim = _interp_at(F, p0, p1, p2, chals[i])
+        return int(F.decode(claim)) == int(F.decode(F.mul(gv, hv)))
+
+    assert verify(msgs)
+    for i in (0, nv // 2, nv - 1):
+        for j in range(3):
+            bad = msgs.copy()
+            bad[i, j] = (int(bad[i, j]) + 1) % F.q
+            assert not verify(bad), (i, j)
