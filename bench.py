@@ -178,8 +178,9 @@ def primary(N, B):
     try:
         # stacked-forward variant (e38): both operands' forward
         # transforms share one dot/fold pair at 2x columns; best at
-        # B=48 (effective forward batch 96 = the unstacked sweet spot)
-        Bs = 48
+        # B=40 (effective forward batch 80 = the unstacked sweet spot;
+        # e46 re-sweep with argument-passed weights)
+        Bs = 40
         ts = Mxu2PallasNTT(N, dma_folds=True, pointwise_pallas=True,
                            fuse_pointwise=True, stack_forward=True)
         cs_tab = jax.device_put(ts.consts())
@@ -531,9 +532,18 @@ def mle20_eval_rate():
 
 
 def main():
-    N, B = 1 << 16, 96   # e37 batch sweep (u8 scheme): 48/64/80/96 ->
-    #                      15.0/15.3/15.7/15.7k, 128/192/256 ->
-    #                      14.5/13.3/11.0k; the plateau is 80-96 and the
+    if "--tpucheck" in sys.argv:
+        # kernel-exactness audit -> TPUCHECK_r{N}.json (benchmarks/tpucheck)
+        sys.path.insert(0, "benchmarks")
+        import tpucheck
+
+        sys.argv = [a for a in sys.argv if a != "--tpucheck"]
+        tpucheck.main()
+        return
+    N, B = 1 << 16, 80   # e46 re-sweep (u8 scheme, argument weights):
+    #                      64/80/96/112 -> 15.0/15.3/15.1/14.2k single;
+    #                      stacked peaks at B=40 (15.5k, effective
+    #                      forward batch 80).  Both candidates run; the
     #                      chain stays compute-bound through 25 ms
     #                      tunnel-congestion episodes
     try:

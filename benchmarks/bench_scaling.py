@@ -1,11 +1,18 @@
 #!/usr/bin/env python
-"""Sharded-NTT scaling bench (BASELINE config 5 harness).
+"""Sharded-NTT scaling bench with per-phase breakdown (BASELINE config 5).
 
 Measures deg-2^20 four-step NTT ring-mul throughput at 1 / 2 / 4 / 8
-devices and reports scaling efficiency.  On a CPU host this exercises the
-code path with virtual devices (set XLA_FLAGS/JAX_PLATFORMS as in
-tests/conftest.py); on a real multi-chip TPU slice it measures ICI
-all_to_all scaling.  Prints one JSON line per device count.
+devices AND times each forward phase separately (column stage /
+all_to_all exchange / row stage) so collective cost is attributable.
+Prints one JSON line per device count.
+
+Honesty note: on the CPU virtual mesh (the only multi-device environment
+available here) all "devices" share the same host cores, so per-device
+compute does NOT scale and the efficiency column mostly measures host
+parallelism + XLA CPU collective overhead — NOT the sharding design.
+The phase columns exist precisely to separate those: the analytic ICI
+model for real v5p hardware lives in PERF_NOTES.md "Multi-chip".  Set
+SRT_SCALING_REAL=1 to measure attached real devices instead.
 """
 
 import json
@@ -19,9 +26,7 @@ def _ensure_mesh_platform(max_devices: int):
     """Default to the virtual CPU mesh: JAX_PLATFORMS=cpu in the env is
     IGNORED here (sitecustomize imports jax onto the axon platform at
     interpreter start), so re-exec a child that flips the platform
-    before backend init (jax.config.update works until the first
-    jax.devices() call) — same pattern as __graft_entry__.  Set
-    SRT_SCALING_REAL=1 to measure the attached real devices instead."""
+    before backend init — same pattern as __graft_entry__."""
     import os
     import pathlib
     import subprocess
@@ -42,7 +47,24 @@ def _ensure_mesh_platform(max_devices: int):
             flags + " --xla_force_host_platform_device_count="
             + str(max_devices)).strip()
     raise SystemExit(subprocess.run(
-        [sys.executable, __file__], env=env, cwd=repo).returncode)
+        [sys.executable, __file__] + sys.argv[1:], env=env,
+        cwd=repo).returncode)
+
+
+def _timeit(fn, args, iters=5):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def main(N=1 << 20, counts=(1, 2, 4, 8), batch=1):
@@ -62,25 +84,39 @@ def main(N=1 << 20, counts=(1, 2, 4, 8), batch=1):
         sn = ShardedNTT("goldilocks", N, Pn)
         mesh = make_mesh(Pn)
         _, _, mul = sn.make_fns(mesh, batch_ndim=1)
+        phases = sn.make_phase_fns(mesh, batch_ndim=1)
         a = sn.to_matrix(rng.integers(0, f.q, size=(batch, N),
                                       dtype=np.uint64))
         b = sn.to_matrix(rng.integers(0, f.q, size=(batch, N),
                                       dtype=np.uint64))
-        out = mul(a, b)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        iters = 5
-        for _ in range(iters):
-            out = mul(a, b)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        rate = batch * iters / dt
+
+        t_mul = _timeit(mul, (a, b))
+        t_fwd = _timeit(phases["forward"], (a,))
+        t_pre = _timeit(phases["pre"], (a,))
+        pre_out = phases["pre"](a)
+        t_exch = _timeit(phases["exchange"], (pre_out,))
+        exch_out = phases["exchange"](pre_out)
+        t_rows = _timeit(phases["rows"], (exch_out,))
+
+        rate = batch / t_mul
         if base is None:
             base = rate
         eff = rate / (base * Pn / counts[0])
-        print(json.dumps({"devices": Pn, "deg": N,
-                          "ring_mults_per_sec": round(rate, 3),
-                          "scaling_efficiency": round(eff, 4)}))
+        print(json.dumps({
+            "devices": Pn, "deg": N,
+            "ring_mults_per_sec": round(rate, 3),
+            "scaling_efficiency": round(eff, 4),
+            "phase_ms": {
+                "pre_col_stage": round(t_pre * 1e3, 2),
+                "all_to_all": round(t_exch * 1e3, 2),
+                "row_stage": round(t_rows * 1e3, 2),
+                "forward_fused": round(t_fwd * 1e3, 2),
+                "full_mul": round(t_mul * 1e3, 2),
+            },
+            "exchange_frac_of_forward": round(t_exch / t_fwd, 4),
+            "note": "CPU virtual mesh shares host cores; see PERF_NOTES "
+                    "Multi-chip for the real-ICI analytic model",
+        }))
 
 
 if __name__ == "__main__":

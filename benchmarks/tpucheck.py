@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""On-chip kernel-exactness audit -> TPUCHECK_r{N}.json.
+
+The CPU test suite exercises every Pallas kernel in interpret mode at
+small shapes; the REAL Mosaic-compiled kernels at bench shapes are gated
+inside bench.py but the result was never a recorded artifact.  This
+audit runs each production kernel on the attached chip at (or near) its
+bench shape against an independent oracle (the native C++ host library
+for the big-degree paths, the XLA formulation or the integer spec for
+the rest) and emits one JSON object per kernel: {name, shape, ok}.
+
+Run: python benchmarks/tpucheck.py [outfile]   (also: bench.py --tpucheck)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+_Q = 2**64 - 2**32 + 1
+
+
+def _rand(rng, shape, q=_Q, dtype=np.uint64):
+    return rng.integers(0, q, size=shape, dtype=dtype)
+
+
+def run_checks():
+    import jax
+    import jax.numpy as jnp
+
+    from stark_rings_tpu.ops.mxu2 import Mxu2NTT
+    from stark_rings_tpu.ops.pallas_fold import (
+        Mxu2PallasNTT, fold_end_dma, fold_tw_dma, fold_end2_mul_dma,
+        pointwise_dma)
+    from stark_rings_tpu.fields import GOLDILOCKS as F
+
+    rng = np.random.default_rng(2024)
+    checks = []
+
+    def record(name, shape, ok, note=""):
+        entry = {"kernel": name, "shape": shape, "ok": bool(ok)}
+        if note:
+            entry["note"] = note
+        checks.append(entry)
+        print(f"  {name} {shape}: {'OK' if ok else 'MISMATCH'}",
+              file=sys.stderr)
+
+    # ---- deg-2^16 epilogue kernels vs the XLA fold formulation ---------
+    N, B = 1 << 16, 8
+    tx = Mxu2NTT(N)
+    c = jax.device_put(tx.consts())
+    x = jax.device_put(_rand(rng, (256, B * 256)))
+    V = jax.jit(lambda cc, x: tx.mat1.dot(x, cc["w1"]))(c, x)
+
+    want = jax.jit(lambda V: tx.mat1.fold(V))(V)
+    got = jax.jit(lambda V: fold_end_dma(V, 256, signed=False))(V)
+    record("fold_end_dma", list(V.shape), jnp.array_equal(want, got))
+
+    tw = tx.tw
+    twv = jax.lax.bitcast_convert_type(jnp.asarray(tw), jnp.uint32)
+    tlo, thi = twv[..., 0], twv[..., 1]
+
+    def xla_fold_tw(V):
+        y = tx.mat1.fold(V).reshape(256, B, 256)
+        return F.mul(y, jnp.asarray(tw)[:, None, :])
+
+    want = jax.jit(xla_fold_tw)(V)
+    got = jax.jit(lambda V: fold_tw_dma(
+        V, tlo, thi, 256, signed=False)
+        .reshape(256, B, 256))(V)
+    record("fold_tw_dma", list(V.shape), jnp.array_equal(want, got))
+
+    got_t = jax.jit(lambda V: fold_tw_dma(
+        V, tlo, thi, 256, transpose_out=True, signed=False)
+        .reshape(256, B, 256))(V)
+    want_t = jnp.transpose(want, (2, 1, 0))
+    record("fold_tw_dma[transpose_out]", list(V.shape),
+           jnp.array_equal(want_t, got_t))
+
+    x2 = jax.device_put(_rand(rng, (256, B * 256)))
+    V2 = jax.jit(lambda cc, x: tx.mat1.dot(x, cc["w1"]))(c, x2)
+    want = jax.jit(lambda Va, Vb: F.mul(tx.mat1.fold(Va),
+                                        tx.mat1.fold(Vb)))(V, V2)
+    got = jax.jit(lambda Va, Vb: fold_end2_mul_dma(
+        Va, Vb, 256, signed=False))(V, V2)
+    record("fold_end2_mul_dma", list(V.shape), jnp.array_equal(want, got))
+
+    Vs = jnp.concatenate([V, V2], axis=1)
+    got = jax.jit(lambda Vs: fold_end2_mul_dma(
+        Vs, None, 256, signed=False))(Vs)
+    record("fold_end2_mul_dma[stacked]", list(Vs.shape),
+           jnp.array_equal(want, got))
+
+    a = jax.device_put(_rand(rng, (B, N)))
+    b = jax.device_put(_rand(rng, (B, N)))
+    want = jax.jit(F.mul)(a, b)
+    got = jax.jit(pointwise_dma)(a, b)
+    record("pointwise_dma", [B, N], jnp.array_equal(want, got))
+
+    # ---- full fused multiplies vs the native host oracle ---------------
+    try:
+        from stark_rings_tpu.native.host import HostGoldilocks
+
+        for logN, Bm, kw in (
+                (16, 4, dict(fuse_pointwise=True)),
+                (16, 4, dict(fuse_pointwise=True, stack_forward=True)),
+                (18, 2, dict(fuse_pointwise=True, fold_chunk=128)),
+                (20, 1, dict(fuse_pointwise=False, fold_chunk=128))):
+            Nn = 1 << logN
+            tp = Mxu2PallasNTT(Nn, dma_folds=True, pointwise_pallas=True,
+                               **kw)
+            cc = jax.device_put(tp.consts())
+            hg = HostGoldilocks(Nn)
+            aa = _rand(rng, (Bm, Nn))
+            bb = _rand(rng, (Bm, Nn))
+            got = np.asarray(jax.jit(
+                lambda c_, x, y: tp.mul(x, y, c_))(
+                cc, jax.device_put(aa), jax.device_put(bb)))
+            tag = "stacked" if kw.get("stack_forward") else "fused"
+            record(f"Mxu2PallasNTT.mul[deg2^{logN},{tag}]", [Bm, Nn],
+                   np.array_equal(got, hg.mul(aa, bb)),
+                   note="vs native C++ host oracle")
+    except (OSError, ImportError) as exc:
+        record("Mxu2PallasNTT.mul[host-oracle]", [], False,
+               note=f"oracle unavailable: {exc}")
+
+    # ---- BabyBear fold epilogues at the bench degree --------------------
+    from stark_rings_tpu.ops.mxu_bb import MxuBBNTT, _Q as _QBB
+    from stark_rings_tpu.ops.pallas_fold_bb import MxuBBPallasNTT
+
+    Nb, Bb = 1 << 12, 64
+    ab = jax.device_put(_rand(rng, (Bb, Nb), q=_QBB, dtype=np.uint32))
+    bbv = jax.device_put(_rand(rng, (Bb, Nb), q=_QBB, dtype=np.uint32))
+    want = jax.jit(MxuBBNTT(Nb).mul)(ab, bbv)
+    tpb = MxuBBPallasNTT(Nb, fuse_transpose=True, fuse_pointwise=True)
+    got = jax.jit(tpb.mul)(ab, bbv)
+    record("MxuBBPallasNTT.mul[deg2^12]", [Bb, Nb],
+           jnp.array_equal(want, got), note="vs XLA-fold MxuBBNTT")
+
+    # ---- MLE kernels: Pallas halving vs MXU two-contraction vs XLA ----
+    from stark_rings_tpu.mle.pallas_fix import evaluate_goldilocks_pallas
+    from stark_rings_tpu.mle.mxu_eval import evaluate_goldilocks_mxu
+    from stark_rings_tpu.linalg import FieldElems
+    from stark_rings_tpu.mle import DenseMLE
+
+    nv = 20
+    ev = jax.device_put(_rand(rng, (1 << nv,)))
+    pts = [np.uint64(int(v)) for v in _rand(rng, (nv,))]
+    v_pallas = int(jax.device_get(jax.jit(
+        lambda e: evaluate_goldilocks_pallas(e, pts))(ev)))
+    v_mxu = int(jax.device_get(jax.jit(
+        lambda e: evaluate_goldilocks_mxu(e, pts))(ev)))
+    v_xla = int(F.decode(DenseMLE(FieldElems(F), nv, ev).evaluate(
+        [jnp.asarray(p) for p in pts])))
+    record("mle.pallas_fix.evaluate[nv=20]", [1 << nv],
+           v_pallas == v_xla, note="vs XLA halving loop")
+    record("mle.mxu_eval.evaluate[nv=20]", [1 << nv],
+           v_mxu == v_xla, note="vs XLA halving loop")
+
+    return checks
+
+
+def main():
+    import jax
+
+    t0 = time.time()
+    checks = run_checks()
+    out = {
+        "device": str(jax.devices()[0]),
+        "n_checks": len(checks),
+        "n_ok": sum(c["ok"] for c in checks),
+        "all_ok": all(c["ok"] for c in checks),
+        "elapsed_s": round(time.time() - t0, 1),
+        "checks": checks,
+    }
+    dst = sys.argv[1] if len(sys.argv) > 1 else "TPUCHECK_r03.json"
+    with open(dst, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"tpucheck": out["all_ok"], "n_ok": out["n_ok"],
+                      "n_checks": out["n_checks"], "artifact": dst}))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,8 @@ __all__ = ["ShardedNTT"]
 class ShardedNTT:
     def __init__(self, field_name: str, N: int, n_devices: int,
                  negacyclic: bool = True, axis: str = "x",
-                 local: str = "vpu"):
+                 local: str = "vpu", exchange: str = "xla",
+                 exchange_interpret: bool = False):
         f = get_field(field_name)
         assert N & (N - 1) == 0
         logN = N.bit_length() - 1
@@ -78,6 +79,17 @@ class ShardedNTT:
             assert field_name == "goldilocks", \
                 "mxu local transforms are goldilocks-only"
             self._mxu_mats = self._build_mxu_locals()
+        # exchange="pallas": the forward transform's twiddle + transpose
+        # run as ONE Pallas remote-copy kernel (parallel/pallas_exchange)
+        # overlapping per-block twiddle compute with the ICI transfer —
+        # the SNIPPETS.md pattern, flag-gated prototype (forward only,
+        # goldilocks only; inverse keeps the XLA collective).
+        assert exchange in ("xla", "pallas")
+        if exchange == "pallas":
+            assert field_name == "goldilocks", \
+                "pallas exchange is goldilocks-only (u32-pair modmul)"
+        self.exchange = exchange
+        self.exchange_interpret = exchange_interpret
 
     def consts(self):
         """Device constant tables (built eagerly, cached)."""
@@ -207,11 +219,19 @@ class ShardedNTT:
         x = self._apply_on_axis(self._local_fns()[0], x, 2)
         # twiddle omega^(k1_leaf * n2)
         T = self._twiddle(jnp.asarray(self.k1_leaf), cols, omega_pows)
-        x = f.mul(x, T)
-        # transpose via all_to_all: [.., N1, C] -> [.., N1/P, N2]
-        nd_axis = x.ndim - 2 - nd
-        x = jax.lax.all_to_all(x, self.axis, split_axis=nd_axis,
-                               concat_axis=nd_axis + 1, tiled=True)
+        if self.exchange == "pallas" and not nd:
+            from .pallas_exchange import twiddle_exchange_fwd
+
+            assert x.ndim in (2, 3), \
+                "pallas exchange handles [N1, C] or [B, N1, C]"
+            x = twiddle_exchange_fwd(x, T, self.P, axis=self.axis,
+                                     interpret=self.exchange_interpret)
+        else:
+            x = f.mul(x, T)
+            # transpose via all_to_all: [.., N1, C] -> [.., N1/P, N2]
+            nd_axis = x.ndim - 2 - nd
+            x = jax.lax.all_to_all(x, self.axis, split_axis=nd_axis,
+                                   concat_axis=nd_axis + 1, tiled=True)
         # row NTT over the last (N2) axis
         x = self._apply_on_axis(self._local_fns()[2], x, 1)
         return x
@@ -321,22 +341,60 @@ class ShardedNTT:
             local_forward = self._local_forward_overlap
         else:
             local_forward = self._local_forward
+        # pallas_call outputs carry no vma annotation; disable the check
+        # for the remote-copy exchange prototype
+        smap = partial(jax.shard_map, mesh=mesh,
+                       **({"check_vma": False}
+                          if self.exchange == "pallas" else {}))
 
-        fwd = jax.jit(jax.shard_map(
-            local_forward, mesh=mesh, in_specs=(cspec,),
-            out_specs=espec))
-        inv = jax.jit(jax.shard_map(
-            self._local_inverse, mesh=mesh, in_specs=(espec,),
-            out_specs=cspec))
+        fwd = jax.jit(smap(local_forward, in_specs=(cspec,),
+                           out_specs=espec))
+        inv = jax.jit(smap(self._local_inverse, in_specs=(espec,),
+                           out_specs=cspec))
 
         def local_mul(a, b):
             fa = local_forward(a)
             fb = local_forward(b)
             return self._local_inverse(self.f.mul(fa, fb))
 
-        mul = jax.jit(jax.shard_map(
-            local_mul, mesh=mesh, in_specs=(cspec, cspec), out_specs=cspec))
+        mul = jax.jit(smap(local_mul, in_specs=(cspec, cspec),
+                           out_specs=cspec))
         return fwd, inv, mul
+
+    def make_phase_fns(self, mesh: Mesh, batch_ndim: int = 0):
+        """Per-phase jitted functions for scaling diagnosis.
+
+        Returns a dict of separately-jitted shard_map programs covering
+        the forward transform's three phases:
+          "pre"      — twist + column NTT + twiddle   (local compute)
+          "exchange" — the transpose all_to_all        (ICI / backend)
+          "rows"     — row NTT                         (local compute)
+        plus "forward" (all three fused, the production path).  Input and
+        intermediate shardings match the production dataflow, so the sum
+        of the phase times ~ the fused time up to fusion savings; the
+        exchange phase isolates collective cost at each device count.
+        """
+        self.consts()
+        cspec, espec = self.shard_specs(batch_ndim)
+        nd = 1 if self.f.limbed else 0
+        # the pre-phase output keeps the column sharding
+        pre = jax.jit(jax.shard_map(self._pre_transpose, mesh=mesh,
+                                    in_specs=(cspec,), out_specs=cspec))
+
+        def exch(y):
+            nd_axis = y.ndim - 2 - nd
+            return jax.lax.all_to_all(y, self.axis, split_axis=nd_axis,
+                                      concat_axis=nd_axis + 1, tiled=True)
+
+        exchange = jax.jit(jax.shard_map(exch, mesh=mesh, in_specs=(cspec,),
+                                         out_specs=espec))
+        rows = jax.jit(jax.shard_map(
+            lambda y: self._apply_on_axis(self._local_fns()[2], y, 1),
+            mesh=mesh, in_specs=(espec,), out_specs=espec))
+        forward = jax.jit(jax.shard_map(self._local_forward, mesh=mesh,
+                                        in_specs=(cspec,), out_specs=espec))
+        return {"pre": pre, "exchange": exchange, "rows": rows,
+                "forward": forward}
 
     # -- host-side helpers -------------------------------------------------
     def to_matrix(self, coeffs):

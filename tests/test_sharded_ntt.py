@@ -236,3 +236,38 @@ def test_sharded_mxu_local_overlap_matches():
     plain = np.asarray(jax.device_get(fwd(a)))
     ov = np.asarray(jax.device_get(fwd_ov(a)))
     assert np.array_equal(plain, ov)
+
+
+def test_pallas_exchange_matches_xla_collective():
+    """The flag-gated Pallas remote-copy exchange (twiddle fused into the
+    send loop, parallel/pallas_exchange.py) is bit-exact vs the XLA
+    all_to_all path — forward and full mul, batch and batchless, via the
+    distributed interpret mode on the CPU mesh."""
+    import jax
+    import numpy as np
+    from stark_rings_tpu.fields import get_field
+    from stark_rings_tpu.parallel import ShardedNTT, make_mesh
+
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        import pytest
+        pytest.skip("not enough devices")
+    f = get_field("goldilocks")
+    N, B = 1 << 12, 2
+    rng = np.random.default_rng(12)
+    mesh = make_mesh(Pn)
+    sx = ShardedNTT("goldilocks", N, Pn)
+    sp = ShardedNTT("goldilocks", N, Pn, exchange="pallas",
+                    exchange_interpret=True)
+    fx, _, mx = sx.make_fns(mesh, batch_ndim=1)
+    fp, _, mp = sp.make_fns(mesh, batch_ndim=1)
+    a = sx.to_matrix(rng.integers(0, f.q, size=(B, N), dtype=np.uint64))
+    b = sx.to_matrix(rng.integers(0, f.q, size=(B, N), dtype=np.uint64))
+    assert (np.asarray(fx(a)) == np.asarray(fp(a))).all()
+    assert (np.asarray(mx(a, b)) == np.asarray(mp(a, b))).all()
+
+    # batchless ([N1, N2]) layout through the same flag
+    fx0, _, _ = sx.make_fns(mesh)
+    fp0, _, _ = sp.make_fns(mesh)
+    c = sx.to_matrix(rng.integers(0, f.q, size=(N,), dtype=np.uint64))
+    assert (np.asarray(fx0(c)) == np.asarray(fp0(c))).all()
