@@ -209,3 +209,20 @@ def test_volume_ext_mul_vs_polymul_oracle(name):
         return (fast.reshape(slow.shape) == slow).all()
 
     assert bool(both(a, b)), name
+
+
+@pytest.mark.parametrize("name", ["goldilocks", "frog"])
+def test_volume_crt_roundtrip_1e6(name):
+    """Full reference volume (goldilocks/ntt.rs:801-806 runs 10^6 ring
+    elements through crt o icrt): 10^6 elements in one jitted call,
+    device-side boolean reduction (~6 s/model on the CPU backend —
+    batching makes the reference's million-iteration loop free)."""
+    ring = get_ring(name)
+    n = 1_000_000
+    a = _rand_canonical_device(ring, n, (hash(name) >> 9) & 0xFFFF)
+
+    @jax.jit
+    def ok(x):
+        return (ring.icrt(ring.crt(x)) == x).all()
+
+    assert bool(ok(a)), name
