@@ -176,7 +176,7 @@ def main():
         return jax.jit(fn), (evals,)
 
     try:
-        rate, _ = chain_rate(build_mle_pallas, 1, lo=2, hi=130, reps=3)
+        rate, _ = chain_rate(build_mle_pallas, 1, lo=2, hi=258, reps=3)
         out["mle20_full_evaluate_pallas_per_s"] = round(rate, 2)
     except Exception as exc:  # noqa
         print(f"mle pallas bench failed: {exc}", file=sys.stderr)
@@ -198,7 +198,7 @@ def main():
         return jax.jit(fn), (evals,)
 
     try:
-        rate, _ = chain_rate(build_mle_mxu, 1, lo=2, hi=130, reps=3)
+        rate, _ = chain_rate(build_mle_mxu, 1, lo=2, hi=258, reps=3)
         out["mle20_full_evaluate_mxu_per_s"] = round(rate, 2)
     except Exception as exc:  # noqa
         print(f"mle mxu bench failed: {exc}", file=sys.stderr)
@@ -225,7 +225,7 @@ def main():
         return jax.jit(fn), (evals, P)
 
     try:
-        rate, _ = chain_rate(build_mle_many, W, lo=2, hi=66, reps=3)
+        rate, _ = chain_rate(build_mle_many, W, lo=2, hi=130, reps=3)
         out[f"mle20_evaluate_many_W{W}_points_per_s"] = round(rate, 2)
     except Exception as exc:  # noqa
         print(f"mle many bench failed: {exc}", file=sys.stderr)
