@@ -32,7 +32,7 @@ from .linalg import (AlgebraError, FieldElems, Matrix, RingElems,
                      SparseMatrix, SymmetricMatrix)
 from .mle import ArithError, DenseMLE, SparseMLE
 from .parallel import ShardedNTT, make_mesh
-from .rings import RINGS, RingModel, get_power_ring, get_ring
+from .rings import RINGS, RingModel, Rq, get_power_ring, get_ring
 
 __version__ = "0.2.0"
 
@@ -42,7 +42,7 @@ __version__ = "0.2.0"
 __all__ = [
     "fields", "rings", "decomp", "linalg", "mle", "ops", "parallel", "spec",
     "get_field", "get_ring", "get_power_ring", "FIELDS", "RINGS",
-    "RingModel", "Matrix", "SparseMatrix", "SymmetricMatrix", "FieldElems",
+    "RingModel", "Rq", "Matrix", "SparseMatrix", "SymmetricMatrix", "FieldElems",
     "RingElems", "DenseMLE", "SparseMLE", "decompose", "recompose",
     "gadget_decompose", "gadget_recompose", "ShardedNTT", "make_mesh",
     "AlgebraError", "ArithError", "ConversionError",

@@ -3,8 +3,9 @@
 plus power-of-two scale-ups, monomial algebra and sampling."""
 
 from . import absorb, monomial, sampling
+from .element import Rq
 from .power import PowerRing, get_power_ring
 from .ring import RINGS, RingModel, get_ring
 
-__all__ = ["RingModel", "get_ring", "RINGS", "PowerRing", "get_power_ring",
-           "monomial", "sampling", "absorb"]
+__all__ = ["RingModel", "get_ring", "RINGS", "Rq", "PowerRing",
+           "get_power_ring", "monomial", "sampling", "absorb"]
