@@ -213,6 +213,46 @@ def primary(N, B):
     except Exception as exc:  # noqa
         print(f"pallas stacked failed ({type(exc).__name__}: {exc})",
               file=sys.stderr)
+    cached_rate = None
+    try:
+        # fixed-operand multiply (protocol pattern: many elements times
+        # the SAME ring element — gadget columns, challenge powers): the
+        # fixed operand's forward transform is precomputed once as raw
+        # level-2 bucket planes, every chain step runs 1 forward + fused
+        # fold2-product + 1 inverse.  Same fused kernels; one forward
+        # removed.  Chain is dependent through x; the constant operand
+        # cannot be elided because x changes every step.
+        tp_c = tp  # reuse the oracle-gated fused path object
+        pre = jax.jit(lambda cc, y: tp_c.precompute(y, cc))
+        a0, b0 = operands(B)
+        vb = jax.block_until_ready(pre(c, b0))
+
+        try:
+            from stark_rings_tpu.native.host import HostGoldilocks
+
+            hg = HostGoldilocks(N)
+            got = np.asarray(jax.jit(
+                lambda cc, x, v: tp_c.mul_cached(x, v, cc))(c, a0, vb))
+            assert np.array_equal(got, hg.mul(np.asarray(a0),
+                                              np.asarray(b0))), \
+                "mul_cached mismatch vs host oracle"
+        except (OSError, ImportError):
+            pass
+
+        def build_cached(depth):
+            a, _ = operands(B)
+
+            def fn(cc, x, v):
+                for _ in range(depth):
+                    x = tp_c.mul_cached(x, v, cc)
+                return x
+            return jax.jit(fn), (c, a, vb)
+
+        cached_rate, _ = chain_rate(build_cached, B, lo=2, hi=8, reps=4)
+        cached_rate = round(cached_rate, 1)
+    except Exception as exc:  # noqa
+        print(f"fixed-operand bench failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
     try:
         from stark_rings_tpu.ops.mxu2 import Mxu2NTT
 
@@ -271,7 +311,8 @@ def primary(N, B):
     pw_rate, _ = chain_rate(build_pw, B, lo=16, hi=64, reps=2)
     pw_path = "xla"
     all_rates = {k: [batches[k], round(v, 1)] for k, v in rates.items()}
-    return path, rates[path], batches[path], pw_rate, pw_path, all_rates
+    return (path, rates[path], batches[path], pw_rate, pw_path, all_rates,
+            cached_rate)
 
 
 def babybear_pow2_rate(N=1 << 12, B=4096):
@@ -561,7 +602,8 @@ def main():
     #                      tunnel-congestion episodes
     try:
         rt_ms = tunnel_roundtrip_ms()
-        path, ring_mults, pb, pw_rate, pw_path, all_rates = primary(N, B)
+        (path, ring_mults, pb, pw_rate, pw_path, all_rates,
+         cached_rate) = primary(N, B)
     except Exception as exc:  # noqa
         print(f"primary bench failed ({type(exc).__name__}: {exc}), "
               "falling back to deg 2^12", file=sys.stderr)
@@ -609,6 +651,7 @@ def main():
         "equiv_butterflies_per_sec": round(butterflies, 0),
         "ntt_form_pointwise_ring_mults_per_sec": round(pw_rate, 1),
         "pointwise_path": pw_path,
+        "fixed_operand_ring_mults_per_sec": cached_rate,
         "model_crt_mults_per_sec": models,
         "model_crt_layouts": model_layouts,
         "babybear_deg2^12_ring_mults_per_sec": bb_rate,

@@ -359,6 +359,50 @@ class Mxu2NTT:
         fn = jax.jit(lambda cc, a, b: self.mul(a, b, cc))
         return lambda a, b: fn(c, a, b)
 
+    # -- fixed-operand (cached-transform) multiply --------------------------
+    def precompute(self, b, c=None):
+        """Opaque cached-operand state for :meth:`mul_cached`.
+
+        Protocols multiply many elements by the SAME fixed ring element
+        (gadget columns, challenge powers, fixed rotations — the pattern
+        behind the reference's `mul_unchecked` loops, ntt_form.rs:159-189).
+        Caching the fixed operand's forward transform once turns every
+        subsequent multiply into 1 forward + slot product + 1 inverse —
+        a third of the transform work removed.  The returned state's
+        layout is implementation-specific (evaluations here; raw level-2
+        bucket planes in the fused Pallas subclass) — treat as opaque.
+        Batch dim must match the live operand's."""
+        return self.forward_internal(self._to_internal(b), c)
+
+    def mul_cached(self, a, fb, c=None):
+        """[B, N] x precompute(b) -> a*b mod (q, X^N+1)."""
+        fa = self.forward_internal(self._to_internal(a), c)
+        return self._from_internal(
+            self.inverse_internal(self.pointwise(fa, fb), c))
+
+    def square(self, a, c=None):
+        """a*a with ONE forward transform (fa reused as both operands)."""
+        fa = self.forward_internal(self._to_internal(a), c)
+        return self._from_internal(
+            self.inverse_internal(self.pointwise(fa, fa), c))
+
+    def jit_mul_cached(self):
+        """Jitted (mul_cached, precompute) pair; tables uploaded once."""
+        c = jax.device_put(self.consts())
+        pre = jax.jit(lambda cc, b: self.precompute(b, cc))
+        fn = jax.jit(lambda cc, a, fb: self.mul_cached(a, fb, cc))
+
+        def mul(a, fb):
+            return fn(c, a, fb)
+
+        mul.precompute = lambda b: pre(c, b)  # type: ignore[attr-defined]
+        return mul
+
+    def jit_square(self):
+        c = jax.device_put(self.consts())
+        fn = jax.jit(lambda cc, a: self.square(a, cc))
+        return lambda a: fn(c, a)
+
     def staged_mul(self, granularity: str = "stage"):
         """Python-composed multiply from separately-jitted modules.
 

@@ -306,6 +306,19 @@ class MxuLimbNTT:
         fb = self.forward(b, c)
         return self.inverse(self.f.mul(fa, fb), c)
 
+    def precompute(self, b, c=None):
+        """Cached-operand state (forward evaluations) for mul_cached —
+        the fixed-operand protocol pattern (see Mxu2NTT.precompute)."""
+        return self.forward(b, c)
+
+    def mul_cached(self, a, fb, c=None):
+        """Multiply by a precomputed operand: one forward saved."""
+        return self.inverse(self.f.mul(self.forward(a, c), fb), c)
+
+    def square(self, a, c=None):
+        fa = self.forward(a, c)
+        return self.inverse(self.f.mul(fa, fa), c)
+
     def jit_mul(self):
         """Jitted multiply with the tables passed as arguments
         (device_put once)."""

@@ -772,6 +772,53 @@ class Mxu2PallasNTT(Mxu2NTT):
             return pointwise_mul(fa, fb, interpret=self.interpret)
         return super().pointwise(fa, fb)
 
+    def _fwd_buckets(self, x, c=None):
+        """Level-1 + level-2 dot of the forward transform WITHOUT the
+        final end-fold: returns the int32 bucket planes [K*R, B*t] that
+        fold_end2_mul_dma consumes directly."""
+        tw = self._c(c, "tw", self.tw)
+        mid = self._lvl_tw_t(self.mat1, self._to_internal(x), tw,
+                             self._c(c, "w1", None))
+        C, B, t = mid.shape
+        V = self.mat2.dot(mid.reshape(C, B * t), self._c(c, "w2", None))
+        return V, B, t
+
+    def precompute(self, b, c=None):
+        """Cached-operand state: on the fused path this is the UN-FOLDED
+        level-2 bucket tensor, so mul_cached can feed it straight into
+        fold_end2_mul_dma (the live operand's end-fold and the slot
+        product stay fused in one kernel; the cached operand costs no
+        kernel work at all per multiply)."""
+        if not (self.dma_folds and self.fuse_pointwise):
+            return super().precompute(b, c)
+        V, _, _ = self._fwd_buckets(b, c)
+        return V
+
+    def _tail_cached(self, a, Vb, c=None):
+        Va, B, t = self._fwd_buckets(a, c)
+        prod = fold_end2_mul_dma(Va, Vb, self.mat2.R,
+                                 chunk=min(self.fold_chunk, 256),
+                                 interpret=self.interpret,
+                                 signed=not self.unsigned)
+        prod = prod.reshape(self.mat2.R, B, t)
+        return self._from_internal(self.inverse_internal(prod, c))
+
+    def mul_cached(self, a, fb, c=None):
+        if not (self.dma_folds and self.fuse_pointwise):
+            return super().mul_cached(a, fb, c)
+        return self._tail_cached(a, fb, c)
+
+    def square(self, a, c=None):
+        if not (self.dma_folds and self.fuse_pointwise):
+            return super().square(a, c)
+        Va, B, t = self._fwd_buckets(a, c)
+        prod = fold_end2_mul_dma(Va, Va, self.mat2.R,
+                                 chunk=min(self.fold_chunk, 256),
+                                 interpret=self.interpret,
+                                 signed=not self.unsigned)
+        prod = prod.reshape(self.mat2.R, B, t)
+        return self._from_internal(self.inverse_internal(prod, c))
+
     def mul(self, a, b, c=None):
         """Full multiply with the two forward end-folds and the slot
         product fused into ONE kernel (fold_end2_mul_dma): the forward

@@ -296,6 +296,46 @@ class MxuBBPallasNTT(MxuBBNTT):
                            signed=not self.unsigned)
         return y.reshape(t, B, mat.R)
 
+    def _fwd_buckets(self, x, c=None):
+        """Forward transform WITHOUT the final end-fold: the int32
+        bucket planes bb_fold_end2_mul_dma consumes directly."""
+        tw = self._c(c, "tw", self.tw)
+        mid = self._lvl_tw_t(self.mat1, self._to_internal(x), tw,
+                             self._c(c, "w1", None))
+        C, B, t = mid.shape
+        V = self.mat2.dot(mid.reshape(C, B * t), self._c(c, "w2", None))
+        return V, B, t
+
+    def precompute(self, b, c=None):
+        """Cached-operand state for mul_cached: un-folded level-2 bucket
+        planes on the fused path (see pallas_fold.Mxu2PallasNTT)."""
+        if not self.fuse_pointwise:
+            return super().precompute(b, c)
+        V, _, _ = self._fwd_buckets(b, c)
+        return V
+
+    def mul_cached(self, a, fb, c=None):
+        if not self.fuse_pointwise:
+            return super().mul_cached(a, fb, c)
+        Va, B, t = self._fwd_buckets(a, c)
+        prod = bb_fold_end2_mul_dma(Va, fb, self.mat2.R,
+                                    chunk=min(self.fold_chunk, 1024),
+                                    interpret=self.interpret,
+                                    signed=not self.unsigned)
+        prod = prod.reshape(self.mat2.R, B, t)
+        return self._from_internal(self.inverse_internal(prod, c))
+
+    def square(self, a, c=None):
+        if not self.fuse_pointwise:
+            return super().square(a, c)
+        Va, B, t = self._fwd_buckets(a, c)
+        prod = bb_fold_end2_mul_dma(Va, Va, self.mat2.R,
+                                    chunk=min(self.fold_chunk, 1024),
+                                    interpret=self.interpret,
+                                    signed=not self.unsigned)
+        prod = prod.reshape(self.mat2.R, B, t)
+        return self._from_internal(self.inverse_internal(prod, c))
+
     def mul(self, a, b, c=None):
         """Full multiply with the forward end-folds + slot product in
         ONE kernel (bb_fold_end2_mul_dma)."""

@@ -173,6 +173,35 @@ def test_mxu2_fused_pointwise_interpret(data):
     assert np.array_equal(np.asarray(tp.mul(a, b)), want)
 
 
+def test_mxu2_mul_cached_and_square(data):
+    """Fixed-operand multiply (cached forward transform) and square must
+    equal the full multiply bit-exactly on the XLA base path."""
+    a, b, want = data
+    t = Mxu2NTT(N)
+    fb = t.precompute(b)
+    assert np.array_equal(np.asarray(t.mul_cached(a, fb)), want)
+    mc = t.jit_mul_cached()
+    assert np.array_equal(np.asarray(mc(a, mc.precompute(b))), want)
+    ctx = NTTContext(F, N, negacyclic=True)
+    sq_want = np.asarray(ctx.mul(a, a))
+    assert np.array_equal(np.asarray(t.square(a)), sq_want)
+    assert np.array_equal(np.asarray(t.jit_square()(a)), sq_want)
+
+
+def test_mxu2_fused_mul_cached_interpret(data):
+    """Fused-path cached multiply: the cached operand is the un-folded
+    level-2 bucket tensor, consumed by fold_end2_mul_dma against the
+    live operand's buckets — must be bit-identical to the full mul."""
+    a, b, want = data
+    tp = Mxu2PallasNTT(N, interpret=True, dma_folds=True, fold_chunk=128,
+                       pointwise_pallas=True, fuse_pointwise=True)
+    fb = tp.precompute(b)
+    assert np.array_equal(np.asarray(tp.mul_cached(a, fb)), want)
+    ctx = NTTContext(F, N, negacyclic=True)
+    sq_want = np.asarray(ctx.mul(a, a))
+    assert np.array_equal(np.asarray(tp.square(a)), sq_want)
+
+
 def test_mxu2_stacked_forward_interpret(data):
     """stack_forward (e38): both operands' forward transforms through
     ONE stacked dot/fold pair, the fold2 kernel reading each operand's

@@ -111,6 +111,12 @@ def test_mxu_limb_ntt_matches_radix4():
                           np.asarray(ctx.mul(a, b)))
     back = tx.inverse(tx.forward(a))
     assert np.array_equal(np.asarray(back), np.asarray(a))
+    # fixed-operand multiply and square (one forward transform saved)
+    want = np.asarray(ctx.mul(a, b))
+    fb = tx.precompute(b)
+    assert np.array_equal(np.asarray(tx.mul_cached(a, fb)), want)
+    assert np.array_equal(np.asarray(tx.square(a)),
+                          np.asarray(ctx.mul(a, a)))
 
 
 def test_mxu_limb_ntt_odd_log2_and_power_ring():

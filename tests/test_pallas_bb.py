@@ -29,6 +29,28 @@ def test_bb_pallas_mul_matches_xla_fold(fuse_transpose, fuse_pointwise,
     assert (got == want).all()
 
 
+def test_bb_pallas_mul_cached_and_square():
+    """Fixed-operand multiply (cached un-folded bucket planes through
+    bb_fold_end2_mul_dma) and square must match the full multiply."""
+    N, B = 1 << 10, 3
+    rng = np.random.default_rng(9)
+    a = jnp.asarray(rng.integers(0, _Q, size=(B, N), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, _Q, size=(B, N), dtype=np.uint32))
+    base = MxuBBNTT(N)
+    want = np.asarray(jax.jit(base.mul)(a, b))
+    sq_want = np.asarray(jax.jit(base.mul)(a, a))
+    # XLA base path (inherited from Mxu2NTT)
+    fb = base.precompute(b)
+    assert (np.asarray(base.mul_cached(a, fb)) == want).all()
+    assert (np.asarray(base.square(a)) == sq_want).all()
+    # fused Pallas path (interpret)
+    tp = MxuBBPallasNTT(N, interpret=True, fuse_transpose=True,
+                        fuse_pointwise=True)
+    vb = tp.precompute(b)
+    assert (np.asarray(tp.mul_cached(a, vb)) == want).all()
+    assert (np.asarray(tp.square(a)) == sq_want).all()
+
+
 def test_bb_pallas_odd_batch_and_small_degree():
     """Odd batch (3) and a smaller power-of-two degree exercise the fold
     kernels' chunk-splitting edge cases (cols not a multiple of the
