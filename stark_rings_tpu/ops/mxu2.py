@@ -375,7 +375,11 @@ class Mxu2NTT:
         return self.forward_internal(self._to_internal(b), c)
 
     def mul_cached(self, a, fb, c=None):
-        """[B, N] x precompute(b) -> a*b mod (q, X^N+1)."""
+        """[B, N] x precompute(b) -> a*b mod (q, X^N+1).
+
+        fb may come from a batch-1 b (ONE fixed element times a whole
+        batch — the challenge-multiply pattern): the internal layout
+        [k2, Bb, k1] broadcasts over the batch axis."""
         fa = self.forward_internal(self._to_internal(a), c)
         return self._from_internal(
             self.inverse_internal(self.pointwise(fa, fb), c))

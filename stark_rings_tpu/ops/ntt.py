@@ -245,6 +245,11 @@ class NTTContext:
         """Negacyclic/cyclic ring multiply: NTT -> pointwise -> INTT."""
         return self.inverse(self.f.mul(self.forward(a), self.forward(b)))
 
+    def square(self, a):
+        """a*a with ONE forward transform."""
+        fa = self.forward(a)
+        return self.inverse(self.f.mul(fa, fa))
+
     def pointwise(self, fa, fb):
         return self.f.mul(fa, fb)
 

@@ -796,6 +796,17 @@ class Mxu2PallasNTT(Mxu2NTT):
 
     def _tail_cached(self, a, Vb, c=None):
         Va, B, t = self._fwd_buckets(a, c)
+        if Vb.shape[1] != B * t:
+            # batch-1 cached operand (challenge-multiply pattern):
+            # broadcast its bucket columns across the live batch.  The
+            # tile is cheap relative to the forward it replaces (t cols
+            # -> B*t cols of int32; XLA fuses the broadcast into the
+            # kernel's operand feed).
+            assert Vb.shape[1] == t and B * t % Vb.shape[1] == 0, \
+                (Vb.shape, B, t)
+            Vb = jnp.broadcast_to(Vb[:, None, :],
+                                  (Vb.shape[0], B, t)).reshape(
+                                      Vb.shape[0], B * t)
         prod = fold_end2_mul_dma(Va, Vb, self.mat2.R,
                                  chunk=min(self.fold_chunk, 256),
                                  interpret=self.interpret,

@@ -318,6 +318,13 @@ class MxuBBPallasNTT(MxuBBNTT):
         if not self.fuse_pointwise:
             return super().mul_cached(a, fb, c)
         Va, B, t = self._fwd_buckets(a, c)
+        if fb.shape[1] != B * t:
+            # batch-1 cached operand: broadcast bucket columns over the
+            # live batch (challenge-multiply pattern)
+            assert fb.shape[1] == t, (fb.shape, B, t)
+            fb = jnp.broadcast_to(fb[:, None, :],
+                                  (fb.shape[0], B, t)).reshape(
+                                      fb.shape[0], B * t)
         prod = bb_fold_end2_mul_dma(Va, fb, self.mat2.R,
                                     chunk=min(self.fold_chunk, 1024),
                                     interpret=self.interpret,

@@ -136,6 +136,16 @@ class Rq:
 
     __rmul__ = __mul__
 
+    def square(self) -> "Rq":
+        """self * self; coeff form saves one forward transform when the
+        ring provides coeff_square (PowerRing)."""
+        if self.form == "ntt":
+            return self._like(self.ring.ntt_mul(self.data, self.data))
+        sq = getattr(self.ring, "coeff_square", None)
+        if sq is not None:
+            return self._like(sq(self.data))
+        return self._like(self.ring.coeff_mul(self.data, self.data))
+
     def __pow__(self, e: int):
         assert self.form == "ntt", "pow is slotwise (NTT form)"
         return self._like(self.ring.ntt_pow(self.data, e))

@@ -83,6 +83,11 @@ class PowerRing:
     def coeff_mul(self, a, b):
         return self.ctx.mul(a, b)
 
+    def coeff_square(self, a):
+        """a*a with one forward transform (see mxu_ctx().square for the
+        production-rate variant)."""
+        return self.ctx.square(a)
+
     def mxu_ctx(self, pallas: bool = True):
         """The MXU v2 fast multiplier for this degree (goldilocks and
         babybear; built lazily — the pre-scaled weight digitization is a

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from stark_rings_tpu.fields import GOLDILOCKS as F
 from stark_rings_tpu.ops.mxu2 import (
@@ -200,6 +201,15 @@ def test_mxu2_fused_mul_cached_interpret(data):
     ctx = NTTContext(F, N, negacyclic=True)
     sq_want = np.asarray(ctx.mul(a, a))
     assert np.array_equal(np.asarray(tp.square(a)), sq_want)
+    # batch-1 cached operand broadcast (challenge-multiply pattern),
+    # both paths
+    c1 = b[:1]
+    want1 = np.asarray(ctx.mul(a, jnp.broadcast_to(c1, a.shape)))
+    f1 = tp.precompute(c1)
+    assert np.array_equal(np.asarray(tp.mul_cached(a, f1)), want1)
+    t = Mxu2NTT(N)
+    assert np.array_equal(
+        np.asarray(t.mul_cached(a, t.precompute(c1))), want1)
 
 
 def test_mxu2_stacked_forward_interpret(data):

@@ -49,6 +49,10 @@ def test_bb_pallas_mul_cached_and_square():
     vb = tp.precompute(b)
     assert (np.asarray(tp.mul_cached(a, vb)) == want).all()
     assert (np.asarray(tp.square(a)) == sq_want).all()
+    # batch-1 cached operand broadcast (challenge-multiply pattern)
+    c1 = b[:1]
+    want1 = np.asarray(jax.jit(base.mul)(a, jnp.broadcast_to(c1, a.shape)))
+    assert (np.asarray(tp.mul_cached(a, tp.precompute(c1))) == want1).all()
 
 
 def test_bb_pallas_odd_batch_and_small_degree():

@@ -43,6 +43,10 @@ def test_rq_operator_surface(name):
     x_poly = Rq.from_ints(R, [0, 1] + [0] * (R.D - 2))
     assert a.rot() == a * x_poly
 
+    # square in both forms
+    assert a.square() == a * a
+    assert a.crt().square() == (a * a).crt()
+
     # decompose/recompose roundtrip through the wrapper
     dig = a.decompose(256, k=5) if R.q < (1 << 40) else a.decompose(256, 9)
     if R.q >= (1 << 40) and R.q < (1 << 65):
@@ -56,6 +60,17 @@ def test_rq_ntt_pow_inv_goldilocks():
     a = Rq.rand(R, (2,), rng).crt()
     assert a ** 3 == a * a * a
     assert a * a.inv() == Rq.one(R, (2,), form="ntt")
+
+
+def test_rq_square_power_ring():
+    """Rq.square on a PowerRing routes through coeff_square (one forward
+    transform) and must equal the two-operand multiply."""
+    from stark_rings_tpu.rings import get_power_ring
+
+    R = get_power_ring("goldilocks", 8)
+    rng = random.Random(31)
+    a = Rq.coeff(R, R.rand_coeff((2,), rng))
+    assert a.square() == a * a
 
 
 def test_rq_from_ints_reduces_long_input():
