@@ -121,6 +121,38 @@ def run_checks():
             record(f"Mxu2PallasNTT.mul[deg2^{logN},{tag}]", [Bm, Nn],
                    np.array_equal(got, hg.mul(aa, bb)),
                    note="vs native C++ host oracle")
+        # fixed-operand variants at the headline degree (e50/e51): the
+        # cached bucket tensor, its batch-1 broadcast, and square all
+        # route through fold_end2_mul_dma with non-stacked operands
+        Nn, Bm = 1 << 16, 4
+        tp = Mxu2PallasNTT(Nn, dma_folds=True, pointwise_pallas=True,
+                           fuse_pointwise=True)
+        cc = jax.device_put(tp.consts())
+        hg = HostGoldilocks(Nn)
+        aa = _rand(rng, (Bm, Nn))
+        bb = _rand(rng, (Bm, Nn))
+        vb = jax.jit(lambda c_, y: tp.precompute(y, c_))(
+            cc, jax.device_put(bb))
+        got = np.asarray(jax.jit(
+            lambda c_, x, v: tp.mul_cached(x, v, c_))(
+            cc, jax.device_put(aa), vb))
+        record("Mxu2PallasNTT.mul_cached[deg2^16]", [Bm, Nn],
+               np.array_equal(got, hg.mul(aa, bb)),
+               note="vs native C++ host oracle")
+        v1 = jax.jit(lambda c_, y: tp.precompute(y, c_))(
+            cc, jax.device_put(bb[:1]))
+        got = np.asarray(jax.jit(
+            lambda c_, x, v: tp.mul_cached(x, v, c_))(
+            cc, jax.device_put(aa), v1))
+        record("Mxu2PallasNTT.mul_cached[challenge-bcast]", [Bm, Nn],
+               np.array_equal(got, hg.mul(aa, np.broadcast_to(bb[:1],
+                                                              aa.shape))),
+               note="vs native C++ host oracle")
+        got = np.asarray(jax.jit(
+            lambda c_, x: tp.square(x, c_))(cc, jax.device_put(aa)))
+        record("Mxu2PallasNTT.square[deg2^16]", [Bm, Nn],
+               np.array_equal(got, hg.mul(aa, aa)),
+               note="vs native C++ host oracle")
     except (OSError, ImportError) as exc:
         record("Mxu2PallasNTT.mul[host-oracle]", [], False,
                note=f"oracle unavailable: {exc}")

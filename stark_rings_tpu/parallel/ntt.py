@@ -361,6 +361,41 @@ class ShardedNTT:
                            out_specs=cspec))
         return fwd, inv, mul
 
+    def make_cached_fns(self, mesh: Mesh, batch_ndim: int = 0):
+        """(precompute, mul_cached, square) jitted over the mesh.
+
+        The fixed-operand pattern on the mesh pays off twice: a cached
+        operand skips its forward transform AND that transform's
+        all_to_all exchange — per multiply only the live operand's
+        exchange and the inverse's remain (2 collectives instead of 3).
+        ``precompute`` is the forward transform (output row-sharded
+        evaluations, shard_specs' espec); a batch-1 cached operand
+        broadcasts over the live batch inside the slot product."""
+        self.consts()
+        cspec, espec = self.shard_specs(batch_ndim)
+        smap = partial(jax.shard_map, mesh=mesh,
+                       **({"check_vma": False}
+                          if self.exchange == "pallas" else {}))
+
+        pre = jax.jit(smap(self._local_forward, in_specs=(cspec,),
+                           out_specs=espec))
+
+        def local_mul_cached(a, fb):
+            fa = self._local_forward(a)
+            return self._local_inverse(self.f.mul(fa, fb))
+
+        mul_cached = jax.jit(smap(local_mul_cached,
+                                  in_specs=(cspec, espec),
+                                  out_specs=cspec))
+
+        def local_square(a):
+            fa = self._local_forward(a)
+            return self._local_inverse(self.f.mul(fa, fa))
+
+        square = jax.jit(smap(local_square, in_specs=(cspec,),
+                              out_specs=cspec))
+        return pre, mul_cached, square
+
     def make_phase_fns(self, mesh: Mesh, batch_ndim: int = 0):
         """Per-phase jitted functions for scaling diagnosis.
 

@@ -92,6 +92,44 @@ def test_sharded_batched():
             _negacyclic_mul_ints(a_i[t], b_i[t], f.q)
 
 
+def test_sharded_mul_cached_and_square():
+    """Fixed-operand multiply on the mesh (cached row-sharded
+    evaluations; 2 collectives per multiply instead of 3) and square,
+    incl. the batch-1 challenge broadcast."""
+    Pn = 4
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    name, N = "goldilocks", 256
+    f = get_field(name)
+    mesh = make_mesh(Pn)
+    sn = ShardedNTT(name, N, Pn)
+    pre, mul_cached, square = sn.make_cached_fns(mesh, batch_ndim=1)
+    rng = random.Random(53)
+    B = 2
+    a_i = [[rng.randrange(f.q) for _ in range(N)] for _ in range(B)]
+    b_i = [[rng.randrange(f.q) for _ in range(N)] for _ in range(B)]
+    a = sn.to_matrix(np.asarray(f.encode(np.array(a_i, dtype=object))))
+    b = sn.to_matrix(np.asarray(f.encode(np.array(b_i, dtype=object))))
+    fb = pre(b)
+    got = f.decode(sn.from_matrix(np.asarray(jax.device_get(
+        mul_cached(a, fb)))))
+    for t in range(B):
+        assert [int(v) for v in got[t]] == \
+            _negacyclic_mul_ints(a_i[t], b_i[t], f.q)
+    # square
+    gots = f.decode(sn.from_matrix(np.asarray(jax.device_get(square(a)))))
+    for t in range(B):
+        assert [int(v) for v in gots[t]] == \
+            _negacyclic_mul_ints(a_i[t], a_i[t], f.q)
+    # batch-1 cached operand broadcasts over the live batch
+    f1 = pre(b[:1])
+    got1 = f.decode(sn.from_matrix(np.asarray(jax.device_get(
+        mul_cached(a, f1)))))
+    for t in range(B):
+        assert [int(v) for v in got1[t]] == \
+            _negacyclic_mul_ints(a_i[t], b_i[0], f.q)
+
+
 @pytest.mark.slow
 def test_sharded_deg_2_20_roundtrip():
     """BASELINE config 5 shape: deg-2^20 sharded NTT roundtrip on the
