@@ -262,9 +262,42 @@ def main():
         print(f"sumcheck bench failed: {exc}", file=sys.stderr)
         out["sumcheck20_product_proofs_per_s"] = None
 
+    # ---- folding combine: w' = c*w + v with a FIXED challenge c --------
+    # the LatticeFold-line fold step over deg-2^16 witnesses; c's forward
+    # transform is cached once (mul_cached, e50/e51), so each combine is
+    # one forward + fused fold2-product + one inverse + an add.
+    from stark_rings_tpu.ops.pallas_fold import Mxu2PallasNTT
+
+    Nbig, Bw = 1 << 16, 80
+    tp = Mxu2PallasNTT(Nbig, dma_folds=True, pointwise_pallas=True,
+                       fuse_pointwise=True)
+    cbig = jax.device_put(tp.consts())
+
+    def build_fold(depth):
+        w = jax.device_put(nrng.integers(0, f.q, size=(Bw, Nbig),
+                                         dtype=np.uint64))
+        v = jax.device_put(nrng.integers(0, f.q, size=(Bw, Nbig),
+                                         dtype=np.uint64))
+        ch = jax.device_put(nrng.integers(0, f.q, size=(1, Nbig),
+                                          dtype=np.uint64))
+        vc = jax.jit(lambda cc, y: tp.precompute(y, cc))(cbig, ch)
+
+        def fn(cc, w, v, vc):
+            for _ in range(depth):
+                w = f.add(tp.mul_cached(w, vc, cc), v)
+            return w
+        return jax.jit(fn), (cbig, w, v, vc)
+
+    try:
+        rate, _ = chain_rate(build_fold, Bw, lo=2, hi=8, reps=3)
+        out["fold_combine_deg2^16_witnesses_per_s"] = round(rate, 1)
+    except Exception as exc:  # noqa
+        print(f"fold combine bench failed: {exc}", file=sys.stderr)
+        out["fold_combine_deg2^16_witnesses_per_s"] = None
+
     line = json.dumps(out)
     print(line)
-    path = pathlib.Path(__file__).parent / "PROTO_r02.json"
+    path = pathlib.Path(__file__).parent / "PROTO_r03.json"
     path.write_text(line + "\n")
 
 

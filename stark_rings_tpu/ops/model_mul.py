@@ -206,6 +206,22 @@ class TModelMul:
         return self.icrt_t(self.ntt_mul_t(self.crt_t(at, c),
                                           self.crt_t(bt, c)), c)
 
+    def precompute_t(self, bt, c=None):
+        """Cached-operand state for mul_cached_t: the NTT form of a
+        fixed operand (gadget column / challenge), computed once.  Saves
+        one of the multiply's two CRT dots per call."""
+        return self.crt_t(bt, c)
+
+    def mul_cached_t(self, at, fbt, c=None):
+        """Fixed-operand transposed multiply; fbt broadcasts over at's
+        batch (batch-1 challenge pattern, via ntt_mul_bt)."""
+        return self.icrt_t(self.ntt_mul_bt(self.crt_t(at, c), fbt), c)
+
+    def square_t(self, at, c=None):
+        """a*a with ONE CRT dot."""
+        fa = self.crt_t(at, c)
+        return self.icrt_t(self.ntt_mul_t(fa, fa), c)
+
     # -- batch-leading convenience (pays both transposes) -----------------
     def mul(self, a, b, c=None):
         return self.from_t(self.mul_t(self.to_t(a), self.to_t(b), c))

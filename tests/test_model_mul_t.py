@@ -39,6 +39,23 @@ def test_mul_t_matches_ring_pipeline(name):
     prod = tm.ntt_mul_t(fa, fb)
     assert ring.decode(tm.from_t(prod)).tolist() == \
         ring.decode(ring.ntt_mul(ring.crt(a), ring.crt(b))).tolist()
+
+    # fixed-operand multiply and square (one CRT dot saved)
+    fbt = tm.precompute_t(bt)
+    got_c = tm.mul_cached_t(at, fbt)
+    assert ring.decode(tm.from_t(got_c)).tolist() == \
+        ring.decode(want).tolist()
+    sq_want = ring.icrt(ring.ntt_mul(ring.crt(a), ring.crt(a)))
+    assert ring.decode(tm.from_t(tm.square_t(at))).tolist() == \
+        ring.decode(sq_want).tolist()
+    # batch-1 challenge broadcast
+    f1 = tm.precompute_t(tm.to_t(b[:1]))
+    want1 = ring.icrt(ring.ntt_mul(
+        ring.crt(a), np.broadcast_to(np.asarray(ring.crt(b[:1])),
+                                     np.asarray(ring.crt(a)).shape)))
+    got1 = tm.mul_cached_t(at, f1)
+    assert ring.decode(tm.from_t(got1)).tolist() == \
+        ring.decode(want1).tolist()
     del rng
 
 
