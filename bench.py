@@ -344,6 +344,24 @@ def babybear_pow2_rate(N=1 << 12, B=4096):
             return x
         return jax.jit(fn), (c, a, bs)
 
+    try:  # bit-exactness vs the native generic-prime oracle (canonical
+        # domain: Montgomery storage decodes at the boundary) BEFORE any
+        # rate is recorded
+        from stark_rings_tpu.native.host import HostRing
+
+        hr = HostRing("babybear", N)
+        a0 = jax.device_put(rng.integers(0, q, size=(2, N),
+                                         dtype=np.uint32))
+        b0 = jax.device_put(rng.integers(0, q, size=(2, N),
+                                         dtype=np.uint32))
+        got = np.asarray(ring.field.decode(
+            jax.jit(lambda cc, x, y: tx.mul(x, y, cc))(c, a0, b0)),
+            dtype=np.uint64)
+        assert np.array_equal(got, hr.mul_storage(a0, b0)), \
+            "babybear mxu mismatch vs native oracle"
+    except (OSError, ImportError):
+        pass
+
     rate, _ = chain_rate(build, B, lo=1, hi=5, reps=2)
     return round(rate, 1)
 

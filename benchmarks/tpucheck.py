@@ -169,6 +169,21 @@ def run_checks():
     got = jax.jit(tpb.mul)(ab, bbv)
     record("MxuBBPallasNTT.mul[deg2^12]", [Bb, Nb],
            jnp.array_equal(want, got), note="vs XLA-fold MxuBBNTT")
+    try:
+        # independent native gate (canonical domain; decodes the
+        # Montgomery storage at the boundary)
+        from stark_rings_tpu.fields import get_field
+        from stark_rings_tpu.native.host import HostRing
+
+        fb_ = get_field("babybear")
+        hr = HostRing("babybear", Nb)
+        got_c = np.asarray(fb_.decode(got[:2]), dtype=np.uint64)
+        record("MxuBBPallasNTT.mul[native-oracle]", [2, Nb],
+               np.array_equal(got_c, hr.mul_storage(ab[:2], bbv[:2])),
+               note="vs native C++ generic-prime oracle")
+    except (OSError, ImportError) as exc:
+        record("MxuBBPallasNTT.mul[native-oracle]", [], False,
+               note=f"oracle unavailable: {exc}")
 
     # ---- MLE kernels: Pallas halving vs MXU two-contraction vs XLA ----
     from stark_rings_tpu.mle.pallas_fix import evaluate_goldilocks_pallas

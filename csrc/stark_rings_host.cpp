@@ -138,6 +138,86 @@ void srh_negacyclic_mul_schoolbook(const u64* a, const u64* b, u64* c,
     std::memcpy(c, out.data(), n * sizeof(u64));
 }
 
+// ---- generic odd-prime variants (any q < 2^64) -------------------------
+// The same stage recursion parameterized by the modulus: the host oracle
+// for power-of-two rings over OTHER u64-word primes (BabyBear).  These
+// operate on CANONICAL values — Montgomery storage fields decode first
+// (native/host.py HostRing).
+
+static inline u64 addm(u64 a, u64 b, u64 q) {
+    u64 s = a + b;                 // a,b < q < 2^64; wrap iff s < a
+    if (s < a || s >= q) s -= q;   // wrap-sub is exact mod 2^64
+    return s;
+}
+
+static inline u64 subm(u64 a, u64 b, u64 q) {
+    return a >= b ? a - b : a + (q - b);
+}
+
+static inline u64 mulm(u64 a, u64 b, u64 q) {
+    return (u64)(((u128)a * (u128)b) % q);
+}
+
+void srh_ntt_forward_q(u64* x, const u64* w, u64 n_batch, u64 n, u64 q) {
+    for (u64 row = 0; row < n_batch; ++row) {
+        u64* a = x + row * n;
+        for (u64 m = 1; m < n; m <<= 1) {
+            u64 t = n / (2 * m);
+            for (u64 i = 0; i < m; ++i) {
+                u64 tw = w[m + i];
+                u64* blk = a + i * 2 * t;
+                for (u64 j = 0; j < t; ++j) {
+                    u64 u = blk[j];
+                    u64 v = mulm(tw, blk[j + t], q);
+                    blk[j] = addm(u, v, q);
+                    blk[j + t] = subm(u, v, q);
+                }
+            }
+        }
+    }
+}
+
+void srh_ntt_inverse_q(u64* x, const u64* wi, u64 ninv, u64 n_batch,
+                       u64 n, u64 q) {
+    for (u64 row = 0; row < n_batch; ++row) {
+        u64* a = x + row * n;
+        for (u64 m = n >> 1; m >= 1; m >>= 1) {
+            u64 t = n / (2 * m);
+            for (u64 i = 0; i < m; ++i) {
+                u64 tw = wi[m + i];
+                u64* blk = a + i * 2 * t;
+                for (u64 j = 0; j < t; ++j) {
+                    u64 u = blk[j];
+                    u64 v = blk[j + t];
+                    blk[j] = addm(u, v, q);
+                    blk[j + t] = mulm(tw, subm(u, v, q), q);
+                }
+            }
+        }
+        for (u64 j = 0; j < n; ++j) a[j] = mulm(a[j], ninv, q);
+    }
+}
+
+void srh_pointwise_mul_q(const u64* a, const u64* b, u64* c, u64 count,
+                         u64 q) {
+    for (u64 i = 0; i < count; ++i) c[i] = mulm(a[i], b[i], q);
+}
+
+void srh_negacyclic_mul_schoolbook_q(const u64* a, const u64* b, u64* c,
+                                     u64 n, u64 q) {
+    std::vector<u64> out(n, 0);
+    for (u64 i = 0; i < n; ++i) {
+        if (!a[i]) continue;
+        for (u64 j = 0; j < n; ++j) {
+            u64 p = mulm(a[i], b[j], q);
+            u64 k = i + j;
+            if (k < n) out[k] = addm(out[k], p, q);
+            else out[k - n] = subm(out[k - n], p, q);
+        }
+    }
+    std::memcpy(c, out.data(), n * sizeof(u64));
+}
+
 // Balanced base-b digit of the signed representative (reference
 // balanced_decomposition/mod.rs:62-103 fixed-k reformulation).
 void srh_decompose_balanced(const u64* x, int64_t* digits, u64 count,

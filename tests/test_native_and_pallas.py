@@ -27,6 +27,41 @@ def test_native_host_oracle_matches_device():
     assert (h.forward(a) == np.asarray(ctx.forward(jax.device_put(a)))).all()
 
 
+def test_native_host_ring_babybear():
+    """Generic-prime native oracle (HostRing): canonical-domain NTT for
+    the Montgomery-storage BabyBear field — vs the device NTTContext
+    (decoded) and the independent C schoolbook."""
+    from stark_rings_tpu.native import HostRing
+
+    f = get_field("babybear")
+    N = 512
+    h = HostRing("babybear", N)
+    rng = np.random.default_rng(71)
+    a_c = rng.integers(0, f.q, size=(2, N), dtype=np.uint64)
+    b_c = rng.integers(0, f.q, size=(2, N), dtype=np.uint64)
+    got = h.mul(a_c, b_c)
+    # independent O(N^2) C oracle
+    assert (got[0] == h.mul_schoolbook(a_c[0], b_c[0])).all()
+    # device path (storage domain), compared canonically
+    a_s = f.encode(a_c.astype(object))
+    b_s = f.encode(b_c.astype(object))
+    ctx = get_ntt("babybear", N)
+    dev = np.asarray(f.decode(jax.jit(ctx.mul)(
+        jax.device_put(a_s), jax.device_put(b_s))), dtype=np.uint64)
+    assert (got == dev).all()
+    # storage-boundary helper
+    assert (h.mul_storage(a_s, b_s) == dev).all()
+    # goldilocks through the generic-q path == the specialized kernels
+    from stark_rings_tpu.native import HostGoldilocks
+
+    hg = HostGoldilocks(N)
+    hq = HostRing("goldilocks", N)
+    fg = get_field("goldilocks")
+    ag = rng.integers(0, fg.q, size=(2, N), dtype=np.uint64)
+    bg = rng.integers(0, fg.q, size=(2, N), dtype=np.uint64)
+    assert (hq.mul(ag, bg) == hg.mul(ag, bg)).all()
+
+
 def test_native_decompose():
     from stark_rings_tpu.native import get_host_lib
     from stark_rings_tpu.spec.decomp import decompose_balanced_fixed, to_signed
