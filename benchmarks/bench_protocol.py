@@ -79,7 +79,8 @@ def main():
         want = ring.decode(jax.jit(commit_step_lead)(s0))
         got = ring.decode(tm.from_t(jax.jit(commit_step_t)(tm.to_t(s0))))
         assert got.tolist() == want.tolist(), "commit paths disagree"
-        rate, _ = chain_rate(build_commit, W, lo=2, hi=34, reps=3)
+        rate, _ = chain_rate(build_commit, W, lo=2, hi=34, reps=3,
+                             cap=200_000)
         out["ajtai_commit_n8_L1024_per_s"] = round(rate, 2)
         out["ajtai_commit_layout"] = "matvec_t_lazy"
     except Exception as exc:  # noqa
@@ -176,7 +177,8 @@ def main():
         return jax.jit(fn), (evals,)
 
     try:
-        rate, _ = chain_rate(build_mle_pallas, 1, lo=2, hi=258, reps=3)
+        rate, _ = chain_rate(build_mle_pallas, 1, lo=2, hi=258,
+                             reps=3, cap=95_000)
         out["mle20_full_evaluate_pallas_per_s"] = round(rate, 2)
     except Exception as exc:  # noqa
         print(f"mle pallas bench failed: {exc}", file=sys.stderr)
@@ -198,7 +200,8 @@ def main():
         return jax.jit(fn), (evals,)
 
     try:
-        rate, _ = chain_rate(build_mle_mxu, 1, lo=2, hi=258, reps=3)
+        rate, _ = chain_rate(build_mle_mxu, 1, lo=2, hi=258, reps=3,
+                             cap=95_000)
         out["mle20_full_evaluate_mxu_per_s"] = round(rate, 2)
     except Exception as exc:  # noqa
         print(f"mle mxu bench failed: {exc}", file=sys.stderr)
@@ -289,7 +292,8 @@ def main():
         return jax.jit(fn), (cbig, w, v, vc)
 
     try:
-        rate, _ = chain_rate(build_fold, Bw, lo=2, hi=8, reps=3)
+        rate, _ = chain_rate(build_fold, Bw, lo=2, hi=8, reps=3,
+                             cap=40_000)
         out["fold_combine_deg2^16_witnesses_per_s"] = round(rate, 1)
     except Exception as exc:  # noqa
         print(f"fold combine bench failed: {exc}", file=sys.stderr)

@@ -88,6 +88,18 @@ class PowerRing:
         production-rate variant)."""
         return self.ctx.square(a)
 
+    def precompute(self, b):
+        """Cached-operand state (leaf-order evaluations) for
+        coeff_mul_cached — the fixed-operand protocol pattern.  States
+        are engine-specific: this one pairs with coeff_mul_cached only;
+        the production-rate pair is mxu_ctx().precompute/mul_cached."""
+        return self.ctx.forward(b)
+
+    def coeff_mul_cached(self, a, fb):
+        """Multiply by a precomputed operand (one forward saved); fb
+        from a batch-1 b broadcasts over a's batch."""
+        return self.ctx.inverse(self.field.mul(self.ctx.forward(a), fb))
+
     def mxu_ctx(self, pallas: bool = True):
         """The MXU v2 fast multiplier for this degree (goldilocks and
         babybear; built lazily — the pre-scaled weight digitization is a

@@ -135,6 +135,36 @@ def test_volume_ntt_mul_vs_schoolbook(name):
     assert (np.asarray(fast) == np.asarray(slow)).all(), name
 
 
+@pytest.mark.parametrize("name", FAST_MODELS)
+def test_volume_mul_cached_matches_mul(name):
+    """Fixed-operand fused multiply (precompute_t/mul_cached_t) and
+    square_t == the general multiply over a volume batch, incl. the
+    batch-1 challenge broadcast — one jit, device-side equality."""
+    import jax.numpy as jnp
+
+    from stark_rings_tpu.ops.model_mul import TModelMul
+
+    n = 2048
+    ring = get_ring(name)
+    tm = TModelMul(ring)
+    a = _rand_canonical_device(ring, n, 0x3A0 + len(name))
+    b = _rand_canonical_device(ring, n, 0x3B0 + len(name))
+
+    @jax.jit
+    def check(x, y):
+        xt, yt = tm.to_t(x), tm.to_t(y)
+        full = tm.mul_t(xt, yt)
+        cached = tm.mul_cached_t(xt, tm.precompute_t(yt))
+        ok = jnp.array_equal(full, cached)
+        ch = tm.precompute_t(tm.to_t(y[:1]))
+        full1 = tm.mul_t(xt, tm.to_t(jnp.broadcast_to(y[:1], y.shape)))
+        ok &= jnp.array_equal(tm.mul_cached_t(xt, ch), full1)
+        ok &= jnp.array_equal(tm.square_t(xt), tm.mul_t(xt, xt))
+        return ok
+
+    assert bool(check(a, b)), name
+
+
 @pytest.mark.slow
 def test_volume_crt_roundtrip_stark_full():
     ring = get_ring("stark_prime")
