@@ -60,3 +60,21 @@ class ShardedModelMul:
 
         return jax.jit(jax.shard_map(local, mesh=self.mesh,
                                      in_specs=(sp, sp), out_specs=sp))
+
+    def make_challenge_mul_fn(self):
+        """w -> c*w for ONE replicated fixed element c ([1, D(, L)]):
+        the folding challenge multiply, batch sharded, zero collectives.
+        c's CRT runs once per device (a single element — negligible) and
+        its slot values broadcast over the local batch; one of the two
+        CRT dots per element is saved vs the general multiply."""
+        sp = self.spec()
+        tail = (None,) * (2 if self.ring.field.limbed else 1)
+        cspec = P(None, *tail)
+        tm = self.tm
+
+        def local(a, ch):
+            fc = tm.precompute_t(tm.to_t(ch))
+            return tm.from_t(tm.mul_cached_t(tm.to_t(a), fc))
+
+        return jax.jit(jax.shard_map(local, mesh=self.mesh,
+                                     in_specs=(sp, cspec), out_specs=sp))

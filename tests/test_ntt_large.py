@@ -96,6 +96,25 @@ def test_negacyclic_batched_big():
     assert [int(v) for v in got[1]] == want
 
 
+def test_power_ring_cached_mul_and_square():
+    """PowerRing precompute/coeff_mul_cached/coeff_square == coeff_mul,
+    incl. the batch-1 challenge broadcast (NTTContext.square lineage)."""
+    from stark_rings_tpu.rings import get_power_ring
+
+    ring = get_power_ring("goldilocks", 9)
+    rng = random.Random(44)
+    a = np.asarray(ring.rand_coeff((3,), rng))
+    b = np.asarray(ring.rand_coeff((3,), rng))
+    want = np.asarray(ring.coeff_mul(a, b))
+    assert np.array_equal(
+        np.asarray(ring.coeff_mul_cached(a, ring.precompute(b))), want)
+    assert np.array_equal(np.asarray(ring.coeff_square(a)),
+                          np.asarray(ring.coeff_mul(a, a)))
+    f1 = ring.precompute(b[:1])
+    w1 = np.asarray(ring.coeff_mul(a, np.broadcast_to(b[:1], a.shape)))
+    assert np.array_equal(np.asarray(ring.coeff_mul_cached(a, f1)), w1)
+
+
 def test_leaf_order_is_permutation_of_evaluations():
     """Leaf order semantics: forward(x)[i] == x(psi^leaf_exps[i])."""
     f = get_field("goldilocks")

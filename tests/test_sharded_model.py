@@ -34,6 +34,12 @@ def test_sharded_model_mul_matches_local(name):
     want_n = np.asarray(jax.jit(ring.ntt_mul)(na, nb))
     assert np.array_equal(got_n, want_n)
 
+    # replicated challenge multiply (batch sharded, c batch-1)
+    ch = b[:1]
+    got_c = np.asarray(smm.make_challenge_mul_fn()(a, ch))
+    want_c = np.asarray(jax.jit(tm.mul)(a, np.broadcast_to(ch, a.shape)))
+    assert np.array_equal(got_c, want_c)
+
 
 @pytest.mark.parametrize("name", ["babybear", "frog"])
 def test_sharded_model_mul_other_models_and_consts_gate(name):
