@@ -13,12 +13,16 @@ invertible-challenge sampler.
 Run:  python examples/ajtai_commitment.py        (TPU or CPU)
 """
 
+import os
 import random
 import sys
 
 import numpy as np
 
 import jax
+
+if os.environ.get("SRT_PLATFORM"):  # smoke tests force "cpu" in-process
+    jax.config.update("jax_platforms", os.environ["SRT_PLATFORM"])
 
 sys.path.insert(0, ".")
 

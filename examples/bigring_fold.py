@@ -12,11 +12,15 @@ Run:  python examples/bigring_fold.py          (TPU; CPU uses a smaller
                                                 degree in interpret mode)
 """
 
+import os
 import sys
 
 import numpy as np
 
 import jax
+
+if os.environ.get("SRT_PLATFORM"):  # smoke tests force "cpu" in-process
+    jax.config.update("jax_platforms", os.environ["SRT_PLATFORM"])
 
 sys.path.insert(0, ".")
 

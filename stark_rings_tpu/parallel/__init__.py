@@ -6,11 +6,11 @@ feature, SURVEY.md §2.5); this package is the TPU-native scale-out story:
 `all_to_all` (four-step/Bailey decomposition) over ICI and reductions as
 `psum` collectives."""
 
-from .linalg import ShardedMatVec
+from .linalg import ShardedMatVec, ShardedSparseMatVec
 from .mesh import make_mesh
 from .mle import ShardedMLE
 from .model import ShardedModelMul
 from .ntt import ShardedNTT
 
 __all__ = ["make_mesh", "ShardedNTT", "ShardedMLE", "ShardedMatVec",
-           "ShardedModelMul"]
+           "ShardedSparseMatVec", "ShardedModelMul"]

@@ -140,3 +140,58 @@ def test_sharded_sumcheck_matches_single(name):
     assert np.array_equal(np.asarray(msgs), np.asarray(want_msgs))
     assert np.array_equal(np.asarray(gv), np.asarray(want_g))
     assert np.array_equal(np.asarray(hv), np.asarray(want_h))
+
+
+def test_sharded_sparse_matvec_ring():
+    """nnz-sharded sparse mat-vec == the single-device gather+segment-sum
+    (sparse_matrix.rs:202-217 scaled across the mesh), ring elements."""
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    from stark_rings_tpu.linalg import RingElems, SparseMatrix
+    from stark_rings_tpu.parallel import ShardedSparseMatVec
+    from stark_rings_tpu.rings import get_ring
+
+    ring = get_ring("goldilocks")
+    e = RingElems(ring)
+    mesh = make_mesh(Pn)
+    rng = random.Random(210)
+    n, m = 5, 12
+    A = SparseMatrix.rand(e, n, m, 0.4, rng)
+    v = np.asarray(ring.rand_ntt((m,), rng))
+    got = ShardedSparseMatVec(e, mesh).mul_vec(A, v)
+    want = A.mul_vec(v)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_sparse_matvec_limbed_and_skewed():
+    """Limbed 252-bit scalars, plus a pathological pattern where every
+    entry sits in ONE row (row-sharding would put all work on one
+    device; nnz-sharding keeps it balanced and exact)."""
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    from stark_rings_tpu.linalg import SparseMatrix
+    from stark_rings_tpu.parallel import ShardedSparseMatVec
+
+    f = get_field("stark_prime")
+    e = FieldElems(f)
+    mesh = make_mesh(Pn)
+    rng = random.Random(211)
+    m = 16
+    vals = e.rand((m,), rng)
+    entries = [(2, c, int(x)) for c, x in enumerate(f.decode(vals))]
+    A = SparseMatrix.from_entries(e, 4, m, entries)
+    v = np.asarray(f.rand((m,), rng))
+    smv = ShardedSparseMatVec(e, mesh)
+    got = smv.mul_vec(A, v)
+    want = A.mul_vec(v)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    # dimension-mismatch keeps the checked_mul_vec error contract
+    from stark_rings_tpu.linalg import AlgebraError
+    try:
+        smv.mul_vec(A, v[:-1])
+        assert False, "expected AlgebraError"
+    except AlgebraError:
+        pass
