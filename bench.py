@@ -1,13 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: degree-2^16 Goldilocks negacyclic ring multiplication
 throughput on one chip (BASELINE north star / config 1 scaled), plus the
-four reference models' fused-CRT multiply rates.
+fixed-operand / challenge / square protocol rates and the four reference
+models' fused-CRT multiply rates.
 
 Primary path: the single-module fused multiply — XLA int8 digit matmuls
 (pre-scaled signed weights) + DMA-looped Pallas fold kernels with the
 mid transpose fused (ops/mxu2.py + ops/pallas_fold.py), bit-exact vs
-the native host oracle.  Fallbacks: the XLA-fold variant, then the
-round-1 jnp radix-4 path.
+the native host oracle.
 
 Timing is IN-MODULE DEPTH-DIFFERENCED (chain_rate): a dependent chain
 of k multiplies with distinct operands inside one jit module, measured
@@ -16,48 +16,136 @@ trip (1-60 ms depending on congestion).  Both repeated calls and
 cross-dispatch chains were shown to inflate on this stack
 (PERF_NOTES.md "Methodology").
 
-Prints ONE JSON line.
+WALL-CLOCK BUDGET (round-4 hardening): the driver runs this under a
+timeout; round 3's artifact was rc=124/parsed=null because the script
+printed its single JSON line only after every section's remote compile
+finished.  Now:
+
+  * ``SRT_BENCH_BUDGET_S`` (default 900 s) bounds the run.  A watchdog
+    THREAD — immune to the main thread blocking inside a remote compile
+    — emits the running result dict as the one JSON line and exits 0
+    when the budget expires.  SIGTERM/SIGINT do the same.
+  * The headline deg-2^16 fused path is measured FIRST; every later
+    section is budget-gated and lands its keys incrementally, so a
+    timeout mid-run still yields a parseable artifact with the headline
+    value and explicit "skipped_budget" section markers.
+  * JAX's persistent compilation cache is enabled (.jax_cache/), so a
+    re-run skips the 30s-10min remote compiles entirely.
+
+Prints ONE JSON line (guaranteed).
 """
 
 import json
+import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
 
-DEPTH = 8
-REPS = 3
+BUDGET_S = float(os.environ.get("SRT_BENCH_BUDGET_S", "900"))
+T0 = time.monotonic()
+DEADLINE = T0 + BUDGET_S
+
+_LOCK = threading.Lock()
+_EMITTED = threading.Event()
+
+RESULT = {
+    "metric": "goldilocks_deg2^16_ring_mults_per_sec_per_chip",
+    "fallback": False,
+    "value": None,
+    "unit": "ring mults/s",
+    "vs_baseline": None,
+    "timing": "in_module_chain_depth_differenced_checksum_forced",
+    "budget_s": BUDGET_S,
+    "sections": {},
+}
 
 
-def chained_time(mul, a, b, depth=DEPTH, reps=REPS):
-    """Checksum-forced dependency-chained timing.
+def put(**kv):
+    with _LOCK:
+        RESULT.update(kv)
 
-    On this stack `jax.block_until_ready` can return before the device
-    finishes multi-dispatch chains (measured rates exceeded HBM
-    physics); the only airtight fence is fetching a VALUE that depends
-    on every output byte.  Each chain step uses a distinct second
-    operand and the measured region ends with device_get of an XOR
-    checksum of the final result."""
+
+def mark(name, status):
+    with _LOCK:
+        RESULT["sections"][name] = status
+
+
+def emit(rc=0):
+    """Print the single JSON line exactly once and hard-exit.
+
+    os._exit (not sys.exit): the main thread may be blocked inside a
+    remote compile; this must terminate the process from the watchdog
+    thread regardless."""
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    with _LOCK:
+        RESULT["elapsed_s"] = round(time.monotonic() - T0, 1)
+        line = json.dumps(RESULT)
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
+    os._exit(rc)
+
+
+def _watchdog():
+    while True:
+        left = DEADLINE - time.monotonic()
+        if left <= 0:
+            break
+        time.sleep(min(left, 5.0))
+    put(budget_expired=True)
+    emit(0)
+
+
+def install_guards():
+    threading.Thread(target=_watchdog, daemon=True).start()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, lambda *_: emit(0))
+        except (ValueError, OSError):
+            pass
+
+
+def setup_jax_cache():
+    """Persistent compilation cache: re-runs (and the driver's run after
+    this session warms it) skip the remote compiles."""
     import jax
-    import jax.numpy as jnp
 
-    csum = jax.jit(lambda x: jnp.bitwise_xor.reduce(
-        x.reshape(-1, x.shape[-1])).max())
-    x = mul(a, b)
-    _ = int(jax.device_get(csum(x)))   # warm incl. checksum graph
-    best = None
-    for r in range(reps):
-        # fresh operand set every rep: no dispatch ever repeats its args
-        bs = [jnp.roll(b, 1 + i + r * depth, axis=1) for i in range(depth)]
-        jax.block_until_ready(bs)
-        t0 = time.perf_counter()
-        x = a
-        for i in range(depth):
-            x = mul(x, bs[i])
-        _ = int(jax.device_get(csum(x)))
-        dt = (time.perf_counter() - t0) / depth
-        best = dt if best is None else min(best, dt)
-    return best
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        put(compile_cache=cache_dir)
+    except Exception as exc:  # noqa: BLE001 — cache is best-effort
+        print(f"compile cache unavailable ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+
+
+def run_section(name, est_s, fn):
+    """Budget-gated section: skip if the estimated time does not fit in
+    the remaining budget; record elapsed or failure class either way."""
+    if DEADLINE - time.monotonic() < est_s:
+        print(f"section {name}: skipped (budget)", file=sys.stderr)
+        mark(name, "skipped_budget")
+        return None
+    t0 = time.monotonic()
+    try:
+        out = fn()
+        mark(name, round(time.monotonic() - t0, 1))
+        return out
+    except Exception as exc:  # noqa: BLE001 — sections are independent
+        print(f"section {name} failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+        mark(name, f"failed:{type(exc).__name__}")
+        return None
 
 
 def chain_rate(build, B, lo=2, hi=6, reps=3, cap=None):
@@ -140,208 +228,290 @@ def tunnel_roundtrip_ms():
     return (time.perf_counter() - t0) * 1e3
 
 
-def primary(N, B):
-    """Measures three single-jit-module paths with in-module chained
-    depth-differenced timing (chain_rate): the fused Pallas path (int8
-    digit dots + DMA-looped VMEM folds), the XLA-fold variant, and the
-    round-1 radix-4 path.  One module per CHAIN means the tunnel's
-    per-dispatch latency cancels out of the measurement and, in
-    production use, out of the workload itself."""
-    import jax
+class Headline:
+    """Shared state for the deg-2^16 sections: the fused multiplier, its
+    device-resident tables, and the operand generator."""
 
-    from stark_rings_tpu.fields import get_field
-    from stark_rings_tpu.ops.ntt import get_ntt
+    def __init__(self, N, B):
+        import jax
 
-    f = get_field("goldilocks")
-    rng = np.random.default_rng(0)
+        from stark_rings_tpu.fields import get_field
+        from stark_rings_tpu.ops.pallas_fold import Mxu2PallasNTT
 
-    def operands(nb, depth=0):
+        self.N, self.B = N, B
+        self.f = get_field("goldilocks")
+        self.rng = np.random.default_rng(0)
+        self.tp = Mxu2PallasNTT(N, dma_folds=True, pointwise_pallas=True,
+                                fuse_pointwise=True)
+        self.c = jax.device_put(self.tp.consts())
+        self.jax = jax
+
+    def operands(self, nb, depth=0):
+        jax, f, N = self.jax, self.f, self.N
         aa = jax.device_put(
-            rng.integers(0, f.q, size=(nb, N), dtype=np.uint64))
+            self.rng.integers(0, f.q, size=(nb, N), dtype=np.uint64))
         if not depth:
             bb = jax.device_put(
-                rng.integers(0, f.q, size=(nb, N), dtype=np.uint64))
+                self.rng.integers(0, f.q, size=(nb, N), dtype=np.uint64))
             return aa, bb
         bs = [jax.device_put(
-            rng.integers(0, f.q, size=(nb, N), dtype=np.uint64))
+            self.rng.integers(0, f.q, size=(nb, N), dtype=np.uint64))
             for _ in range(depth)]
         return aa, bs
 
-    rates = {}    # path -> mults/s
-    batches = {}  # path -> batch used
-
-    try:
-        # fused single-module path: int8 digit dots + DMA-looped Pallas
-        # folds with the mid transpose fused into the epilogue and the
-        # two forward end-folds fused with the slot product
-        from stark_rings_tpu.ops.pallas_fold import Mxu2PallasNTT
-
-        tp = Mxu2PallasNTT(N, dma_folds=True, pointwise_pallas=True,
-                           fuse_pointwise=True)
-        c = jax.device_put(tp.consts())
-
-        def build_pallas(depth):
-            a, bs = operands(B, depth)
-
-            def fn(cc, x, bs):
-                for i in range(depth):
-                    x = tp.mul(x, bs[i], cc)
-                return x
-            return jax.jit(fn), (c, a, bs)
-
-        try:  # bit-exactness vs the native oracle BEFORE recording any
-            # rate: a mismatching path must never become the headline
-            from stark_rings_tpu.native.host import HostGoldilocks
-
-            a, b = operands(2)
-            hg = HostGoldilocks(N)
-            got = np.asarray(jax.jit(lambda cc, x, y: tp.mul(x, y, cc))(
-                c, a, b))
-            assert np.array_equal(got, hg.mul(np.asarray(a),
-                                              np.asarray(b))), \
-                "mxu2 pallas mismatch vs host oracle"
-        except (OSError, ImportError):
-            pass
-        # cap: the per-stage budget floor is ~45 us/element => <= ~22k
-        # mults/s conceivable on this chip (PERF_NOTES); anything above
-        # 30k is a congested-window measurement artifact
-        rates["mxu2_pallas_single"], _ = chain_rate(build_pallas, B,
-                                                    lo=2, hi=8, reps=4,
-                                                    cap=30_000)
-        batches["mxu2_pallas_single"] = B
-    except Exception as exc:  # noqa
-        print(f"pallas single failed ({type(exc).__name__}: {exc})",
-              file=sys.stderr)
-    try:
-        # stacked-forward variant (e38): both operands' forward
-        # transforms share one dot/fold pair at 2x columns; best at
-        # B=40 (effective forward batch 80 = the unstacked sweet spot;
-        # e46 re-sweep with argument-passed weights)
-        Bs = 40
-        ts = Mxu2PallasNTT(N, dma_folds=True, pointwise_pallas=True,
-                           fuse_pointwise=True, stack_forward=True)
-        cs_tab = jax.device_put(ts.consts())
-
-        def build_stacked(depth):
-            a, bs = operands(Bs, depth)
-
-            def fn(cc, x, bs):
-                for i in range(depth):
-                    x = ts.mul(x, bs[i], cc)
-                return x
-            return jax.jit(fn), (cs_tab, a, bs)
-
+    def oracle_gate(self, fn, label, b_override=None):
+        """Bit-exactness vs the native oracle BEFORE recording any rate:
+        a mismatching path must never become the headline."""
         try:
             from stark_rings_tpu.native.host import HostGoldilocks
-
-            a, b = operands(2)
-            hg = HostGoldilocks(N)
-            got = np.asarray(jax.jit(lambda cc, x, y: ts.mul(x, y, cc))(
-                cs_tab, a, b))
-            assert np.array_equal(got, hg.mul(np.asarray(a),
-                                              np.asarray(b))), \
-                "stacked mxu2 pallas mismatch vs host oracle"
         except (OSError, ImportError):
-            pass
-        rates["mxu2_pallas_stacked"], _ = chain_rate(build_stacked, Bs,
-                                                     lo=2, hi=8, reps=4,
-                                                     cap=30_000)
-        batches["mxu2_pallas_stacked"] = Bs
-    except Exception as exc:  # noqa
-        print(f"pallas stacked failed ({type(exc).__name__}: {exc})",
-              file=sys.stderr)
-    cached_rate = None
+            return
+        a, b = self.operands(2)
+        if b_override is not None:
+            b = b_override(b)
+        hg = HostGoldilocks(self.N)
+        got = np.asarray(fn(a, b))
+        assert np.array_equal(got, hg.mul(np.asarray(a), np.asarray(b))), \
+            f"{label} mismatch vs host oracle"
+
+
+def sec_headline(st):
+    """The gate metric: fused single-module multiply, measured first so
+    it lands even if everything after times out."""
+    jax, tp, c, B = st.jax, st.tp, st.c, st.B
+
+    st.oracle_gate(
+        lambda a, b: jax.jit(lambda cc, x, y: tp.mul(x, y, cc))(c, a, b),
+        "mxu2 pallas fused")
+
+    def build(depth):
+        a, bs = st.operands(B, depth)
+
+        def fn(cc, x, bs):
+            for i in range(depth):
+                x = tp.mul(x, bs[i], cc)
+            return x
+        return jax.jit(fn), (c, a, bs)
+
+    # cap: the per-stage budget floor is ~45 us/element => <= ~22k
+    # mults/s conceivable on this chip (PERF_NOTES); anything above
+    # 30k is a congested-window measurement artifact
+    rate, _ = chain_rate(build, B, lo=2, hi=8, reps=4, cap=30_000)
+    N = st.N
+    put(value=round(rate, 3),
+        vs_baseline=round(rate / 5e8, 9),
+        path="mxu2_pallas_single",
+        batch=B,
+        equiv_butterflies_per_sec=round(
+            rate * 3 * (N // 2) * (N.bit_length() - 1), 0),
+        path_rates_by_batch={"mxu2_pallas_single": [B, round(rate, 1)]})
+    return rate
+
+
+def _merge_path_rate(name, B, rate):
+    with _LOCK:
+        prr = RESULT.setdefault("path_rates_by_batch", {})
+        prr[name] = [B, round(rate, 1)]
+        # headline value = best measured full-multiply path
+        if RESULT["value"] is not None and rate > RESULT["value"]:
+            RESULT["value"] = round(rate, 3)
+            RESULT["vs_baseline"] = round(rate / 5e8, 9)
+            RESULT["path"] = name
+            RESULT["batch"] = B
+
+
+def sec_fixed_operand(st):
+    """Fixed-operand multiply (protocol pattern: many elements times the
+    SAME ring element — gadget columns, challenge powers): the fixed
+    operand's forward transform is precomputed once as raw level-2
+    bucket planes; every chain step runs 1 forward + fused fold2-product
+    + 1 inverse (e50)."""
+    jax, tp, c, B = st.jax, st.tp, st.c, st.B
+    pre = jax.jit(lambda cc, y: tp.precompute(y, cc))
+    a0, b0 = st.operands(B)
+    vb = jax.block_until_ready(pre(c, b0))
+
     try:
-        # fixed-operand multiply (protocol pattern: many elements times
-        # the SAME ring element — gadget columns, challenge powers): the
-        # fixed operand's forward transform is precomputed once as raw
-        # level-2 bucket planes, every chain step runs 1 forward + fused
-        # fold2-product + 1 inverse.  Same fused kernels; one forward
-        # removed.  Chain is dependent through x; the constant operand
-        # cannot be elided because x changes every step.
-        tp_c = tp  # reuse the oracle-gated fused path object
-        pre = jax.jit(lambda cc, y: tp_c.precompute(y, cc))
-        a0, b0 = operands(B)
-        vb = jax.block_until_ready(pre(c, b0))
+        from stark_rings_tpu.native.host import HostGoldilocks
 
-        try:
-            from stark_rings_tpu.native.host import HostGoldilocks
+        hg = HostGoldilocks(st.N)
+        got = np.asarray(jax.jit(
+            lambda cc, x, v: tp.mul_cached(x, v, cc))(c, a0, vb))
+        assert np.array_equal(got, hg.mul(np.asarray(a0),
+                                          np.asarray(b0))), \
+            "mul_cached mismatch vs host oracle"
+    except (OSError, ImportError):
+        pass
 
-            hg = HostGoldilocks(N)
-            got = np.asarray(jax.jit(
-                lambda cc, x, v: tp_c.mul_cached(x, v, cc))(c, a0, vb))
-            assert np.array_equal(got, hg.mul(np.asarray(a0),
-                                              np.asarray(b0))), \
-                "mul_cached mismatch vs host oracle"
-        except (OSError, ImportError):
-            pass
+    def build(depth):
+        a, _ = st.operands(B)
 
-        def build_cached(depth):
-            a, _ = operands(B)
+        def fn(cc, x, v):
+            for _ in range(depth):
+                x = tp.mul_cached(x, v, cc)
+            return x
+        return jax.jit(fn), (c, a, vb)
 
-            def fn(cc, x, v):
-                for _ in range(depth):
-                    x = tp_c.mul_cached(x, v, cc)
-                return x
-            return jax.jit(fn), (c, a, vb)
+    rate, _ = chain_rate(build, B, lo=2, hi=8, reps=4, cap=40_000)
+    put(fixed_operand_ring_mults_per_sec=round(rate, 1))
+    return rate
 
-        cached_rate, _ = chain_rate(build_cached, B, lo=2, hi=8,
-                                    reps=4, cap=40_000)
-        cached_rate = round(cached_rate, 1)
-    except Exception as exc:  # noqa
-        print(f"fixed-operand bench failed ({type(exc).__name__}: {exc})",
-              file=sys.stderr)
+
+def sec_challenge(st):
+    """Challenge multiply: ONE fixed element times the whole batch — the
+    cached batch-1 bucket planes broadcast across the live batch inside
+    the fused fold2-product kernel (e51)."""
+    jax, tp, c, B = st.jax, st.tp, st.c, st.B
+    pre = jax.jit(lambda cc, y: tp.precompute(y, cc))
+    a0, b0 = st.operands(B)
+    v1 = jax.block_until_ready(pre(c, b0[:1]))
+
     try:
-        from stark_rings_tpu.ops.mxu2 import Mxu2NTT
+        from stark_rings_tpu.native.host import HostGoldilocks
 
-        tx = Mxu2NTT(N)
-        cx = jax.device_put(tx.consts())
+        hg = HostGoldilocks(st.N)
+        got = np.asarray(jax.jit(
+            lambda cc, x, v: tp.mul_cached(x, v, cc))(c, a0, v1))
+        bfull = np.broadcast_to(np.asarray(b0[:1]), (B, st.N))
+        assert np.array_equal(got, hg.mul(np.asarray(a0), bfull)), \
+            "challenge mul_cached mismatch vs host oracle"
+    except (OSError, ImportError):
+        pass
 
-        def build_xla(depth):
-            a, bs = operands(B, depth)
+    def build(depth):
+        a, _ = st.operands(B)
 
-            def fn(cc, x, bs):
-                for i in range(depth):
-                    x = tx.mul(x, bs[i], cc)
-                return x
-            return jax.jit(fn), (cx, a, bs)
+        def fn(cc, x, v):
+            for _ in range(depth):
+                x = tp.mul_cached(x, v, cc)
+            return x
+        return jax.jit(fn), (c, a, v1)
 
-        rates["mxu2_xla"], _ = chain_rate(build_xla, B, lo=1, hi=3,
-                                          cap=30_000)
-        batches["mxu2_xla"] = B
-    except Exception as exc:  # noqa
-        print(f"mxu2_xla failed ({type(exc).__name__}: {exc})",
-              file=sys.stderr)
+    rate, _ = chain_rate(build, B, lo=2, hi=8, reps=4, cap=45_000)
+    put(challenge_ring_mults_per_sec=round(rate, 1))
+    return rate
+
+
+def sec_square(st):
+    """Squaring: one forward transform feeds both slot-product operands
+    (e50) — the repeated-squaring / power-table protocol pattern."""
+    jax, tp, c, B = st.jax, st.tp, st.c, st.B
+
     try:
-        ctx = get_ntt("goldilocks", N, negacyclic=True)
+        from stark_rings_tpu.native.host import HostGoldilocks
 
-        def build_radix4(depth):
-            a, bs = operands(B, depth)
+        hg = HostGoldilocks(st.N)
+        a0, _ = st.operands(B)
+        got = np.asarray(jax.jit(
+            lambda cc, x: tp.square(x, cc))(c, a0))
+        assert np.array_equal(got, hg.mul(np.asarray(a0),
+                                          np.asarray(a0))), \
+            "square mismatch vs host oracle"
+    except (OSError, ImportError):
+        pass
 
-            def fn(x, bs):
-                for i in range(depth):
-                    x = ctx.mul(x, bs[i])
-                return x
-            return jax.jit(fn), (a, bs)
+    def build(depth):
+        a, _ = st.operands(B)
 
-        rates["jnp_radix4"], _ = chain_rate(build_radix4, B,
-                                            lo=1, hi=3,
-                                            cap=30_000)
-        batches["jnp_radix4"] = B
-    except Exception as exc:  # noqa
-        print(f"radix4 failed ({type(exc).__name__}: {exc})",
-              file=sys.stderr)
-    if not rates:
-        raise RuntimeError("all primary paths failed")
-    path = max(rates, key=rates.get)
+        def fn(cc, x):
+            for _ in range(depth):
+                x = tp.square(x, cc)
+            return x
+        return jax.jit(fn), (c, a)
 
-    # NTT-form pointwise rate (folding-prover hot loop): in-module
-    # depth-differenced chain of slotwise modmuls.  The XLA chain runs
-    # at the measured VPU u64-emulation envelope (~2.2e10 modmuls/s);
-    # the Pallas in-kernel chain loses to it and its compile hangs at
-    # depth>16 on the remote stack (PERF_NOTES round 2).
-    def build_pw(depth):
-        a, b = operands(B)
+    rate, _ = chain_rate(build, B, lo=2, hi=8, reps=4, cap=45_000)
+    put(square_ring_mults_per_sec=round(rate, 1))
+    return rate
+
+
+def sec_stacked(st):
+    """Stacked-forward variant (e38): both operands' forward transforms
+    share one dot/fold pair at 2x columns; best at B=40 (effective
+    forward batch 80 = the unstacked sweet spot; e46 re-sweep)."""
+    import jax
+
+    from stark_rings_tpu.ops.pallas_fold import Mxu2PallasNTT
+
+    Bs = 40
+    ts = Mxu2PallasNTT(st.N, dma_folds=True, pointwise_pallas=True,
+                       fuse_pointwise=True, stack_forward=True)
+    cs_tab = jax.device_put(ts.consts())
+    st.oracle_gate(
+        lambda a, b: jax.jit(
+            lambda cc, x, y: ts.mul(x, y, cc))(cs_tab, a, b),
+        "stacked mxu2 pallas")
+
+    def build(depth):
+        a, bs = st.operands(Bs, depth)
+
+        def fn(cc, x, bs):
+            for i in range(depth):
+                x = ts.mul(x, bs[i], cc)
+            return x
+        return jax.jit(fn), (cs_tab, a, bs)
+
+    rate, _ = chain_rate(build, Bs, lo=2, hi=8, reps=4, cap=30_000)
+    _merge_path_rate("mxu2_pallas_stacked", Bs, rate)
+    return rate
+
+
+def sec_xla(st):
+    """XLA-fold variant of the same digit-dot path (comparison)."""
+    import jax
+
+    from stark_rings_tpu.ops.mxu2 import Mxu2NTT
+
+    tx = Mxu2NTT(st.N)
+    cx = jax.device_put(tx.consts())
+    B = st.B
+
+    def build(depth):
+        a, bs = st.operands(B, depth)
+
+        def fn(cc, x, bs):
+            for i in range(depth):
+                x = tx.mul(x, bs[i], cc)
+            return x
+        return jax.jit(fn), (cx, a, bs)
+
+    rate, _ = chain_rate(build, B, lo=1, hi=3, cap=30_000)
+    _merge_path_rate("mxu2_xla", B, rate)
+    return rate
+
+
+def sec_radix4(st):
+    """Round-1 jnp radix-4 path (comparison / regression guard)."""
+    import jax
+
+    from stark_rings_tpu.ops.ntt import get_ntt
+
+    ctx = get_ntt("goldilocks", st.N, negacyclic=True)
+    B = st.B
+
+    def build(depth):
+        a, bs = st.operands(B, depth)
+
+        def fn(x, bs):
+            for i in range(depth):
+                x = ctx.mul(x, bs[i])
+            return x
+        return jax.jit(fn), (a, bs)
+
+    rate, _ = chain_rate(build, B, lo=1, hi=3, cap=30_000)
+    _merge_path_rate("jnp_radix4", B, rate)
+    return rate
+
+
+def sec_pointwise(st):
+    """NTT-form pointwise rate (folding-prover hot loop): in-module
+    depth-differenced chain of slotwise modmuls at the measured VPU
+    u64-emulation envelope."""
+    import jax
+
+    f, B = st.f, st.B
+
+    def build(depth):
+        a, b = st.operands(B)
 
         def fn(x, y):
             for _ in range(depth):
@@ -349,15 +519,92 @@ def primary(N, B):
             return x
         return jax.jit(fn), (a, b)
 
-    pw_rate, _ = chain_rate(build_pw, B, lo=16, hi=64, reps=2,
-                            cap=700_000)
-    pw_path = "xla"
-    all_rates = {k: [batches[k], round(v, 1)] for k, v in rates.items()}
-    return (path, rates[path], batches[path], pw_rate, pw_path, all_rates,
-            cached_rate)
+    rate, _ = chain_rate(build, B, lo=16, hi=64, reps=2, cap=700_000)
+    put(ntt_form_pointwise_ring_mults_per_sec=round(rate, 1),
+        pointwise_path="xla")
+    return rate
 
 
-def babybear_pow2_rate(N=1 << 12, B=4096):
+def sec_models():
+    """Per-reference-model fused-CRT multiply throughput: in-module
+    depth-differenced chains of icrt(ntt_mul(crt(x), crt(y))).
+
+    All four models run in the batch-trailing layout
+    (ops/model_mul.TModelMul) with the digit tables passed as jit
+    arguments (e28/e42).  Each model's path is gated bit-exact vs the
+    integer spec before its rate is recorded; each model lands its key
+    incrementally so a mid-section timeout keeps the finished ones."""
+    import jax
+
+    from stark_rings_tpu.ops.model_mul import TModelMul
+    from stark_rings_tpu.rings import get_ring
+
+    out = {}
+    layouts = {}
+    for name, B, lo, hi in (("goldilocks", 65536, 2, 34),
+                            ("babybear", 16384, 2, 34),
+                            ("frog", 65536, 2, 34),
+                            ("stark_prime", 4096, 2, 26)):
+        if DEADLINE - time.monotonic() < 30:
+            out[name] = "skipped_budget"
+            put(model_crt_mults_per_sec=dict(out))
+            continue
+        try:
+            ring = get_ring(name)
+            f = ring.field
+            rng = np.random.default_rng(1)
+            tm = TModelMul(ring)
+
+            def rand(nb):
+                if f.limbed:
+                    limbs = rng.integers(0, 1 << 32, size=(nb, ring.D, 8),
+                                         dtype=np.uint64)
+                    limbs[..., 7] &= (1 << 26) - 1
+                    return f.from_canon(
+                        jax.device_put(limbs.astype(np.uint32)))
+                dt_ = np.uint32 if f.dtype == np.uint32 else np.uint64
+                return f.from_canon(jax.device_put(
+                    rng.integers(0, f.q, size=(nb, ring.D), dtype=dt_)))
+
+            # exactness gate vs the integer spec (host oracle) BEFORE
+            # any rate is recorded on this path
+            a0, b0 = rand(2), rand(2)
+            got = ring.decode(jax.jit(tm.mul)(a0, b0))
+            ai, bi = ring.decode(a0), ring.decode(b0)
+            for r in range(2):
+                want = ring.spec.coeff_mul([int(v) for v in ai[r]],
+                                           [int(v) for v in bi[r]])
+                assert [int(v) for v in got[r]] == \
+                    [int(v) % ring.q for v in want], \
+                    f"{name} model-mul mismatch vs spec"
+
+            cm = jax.device_put(tm.consts())
+
+            def build(depth):
+                a = jax.device_put(tm.to_t(rand(B)))
+                bs = [jax.device_put(tm.to_t(rand(B)))
+                      for _ in range(depth)]
+
+                def fn(cc, x, bs):
+                    for i in range(depth):
+                        x = tm.mul_t(x, bs[i], cc)
+                    return x
+                return jax.jit(fn), (cm, a, bs)
+
+            rate, _ = chain_rate(build, B, lo=lo, hi=hi, reps=3,
+                                 cap=300e6)
+            out[name] = round(rate, 1)
+            layouts[name] = "batch_trailing"
+        except Exception as exc:  # noqa: BLE001
+            print(f"model {name} failed ({type(exc).__name__}: {exc})",
+                  file=sys.stderr)
+            out[name] = None
+        put(model_crt_mults_per_sec=dict(out),
+            model_crt_layouts=dict(layouts))
+    return out
+
+
+def sec_babybear_pow2(N=1 << 12, B=4096):
     """BASELINE config 2: BabyBear deg-2^12 batched negacyclic multiply
     via the MXU digit path (ops/mxu_bb.py), in-module chained.
     Operands in Montgomery storage (the ring's native form)."""
@@ -367,9 +614,7 @@ def babybear_pow2_rate(N=1 << 12, B=4096):
 
     ring = get_power_ring("babybear", N.bit_length() - 1)
     tx = ring.mxu_ctx()
-    c = jax.device_put(tx.consts())   # tables as ARGUMENTS: constant-
-    #                                   weight dots compile ~2.7x slower
-    #                                   on this stack (e41)
+    c = jax.device_put(tx.consts())   # tables as ARGUMENTS (e41)
     rng = np.random.default_rng(2)
     q = ring.field.q
 
@@ -386,9 +631,7 @@ def babybear_pow2_rate(N=1 << 12, B=4096):
             return x
         return jax.jit(fn), (c, a, bs)
 
-    try:  # bit-exactness vs the native generic-prime oracle (canonical
-        # domain: Montgomery storage decodes at the boundary) BEFORE any
-        # rate is recorded
+    try:  # bit-exactness vs the native generic-prime oracle first
         from stark_rings_tpu.native.host import HostRing
 
         hr = HostRing("babybear", N)
@@ -404,12 +647,12 @@ def babybear_pow2_rate(N=1 << 12, B=4096):
     except (OSError, ImportError):
         pass
 
-    rate, _ = chain_rate(build, B, lo=1, hi=5, reps=2,
-                         cap=700_000)
-    return round(rate, 1)
+    rate, _ = chain_rate(build, B, lo=1, hi=5, reps=2, cap=700_000)
+    put(**{"babybear_deg2^12_ring_mults_per_sec": round(rate, 1)})
+    return rate
 
 
-def stark_pow2_rate(N=1 << 12, B=256):
+def sec_stark_pow2(N=1 << 12, B=256):
     """252-bit stark-prime deg-2^12 negacyclic multiply via the limbed
     MXU four-step (ops/mxu_limb.py MxuLimbNTT), in-module chained —
     beyond-reference capability (its stark_prime model stops at D=16)."""
@@ -420,7 +663,7 @@ def stark_pow2_rate(N=1 << 12, B=256):
 
     ring = get_power_ring("stark_prime", N.bit_length() - 1)
     tx = ring.mxu_ctx()
-    c = jax.device_put(tx.consts())   # tables as ARGUMENTS (e41)
+    c = jax.device_put(tx.consts())
     rng = np.random.default_rng(3)
 
     def rand(nb):
@@ -439,107 +682,12 @@ def stark_pow2_rate(N=1 << 12, B=256):
             return x
         return jax.jit(fn), (c, a, bs)
 
-    rate, _ = chain_rate(build, B, lo=1, hi=3, reps=2,
-                         cap=60_000)
-    return round(rate, 1)
+    rate, _ = chain_rate(build, B, lo=1, hi=3, reps=2, cap=60_000)
+    put(**{"stark_prime_deg2^12_ring_mults_per_sec": round(rate, 1)})
+    return rate
 
 
-def model_rates():
-    """Per-reference-model fused-CRT multiply throughput: in-module
-    depth-differenced chains of icrt(ntt_mul(crt(x), crt(y))).
-
-    All four models run in the batch-trailing layout
-    (ops/model_mul.TModelMul) with the digit tables passed as jit
-    arguments: the slot product's elementwise ops get the batch axis
-    minor-most (+14-33% over batch-leading, e28), and argument tables
-    beat closure constants by 1.2-1.6x (e42/e42b — with them even the
-    limbed stark model wins transposed, 30.8M vs 25.4M).  Each model's
-    path is gated bit-exact vs the integer spec before its rate is
-    recorded."""
-    import jax
-
-    from stark_rings_tpu.ops.model_mul import TModelMul
-    from stark_rings_tpu.rings import get_ring
-
-    out = {}
-    layouts = {}
-    # depth spans sized so the differenced signal (hi-lo chain steps)
-    # is tens of ms — well above tunnel round-trip jitter.  Small-D
-    # steps take ~0.5 ms at these batches, the limbed stark ~3 ms.
-    for name, B, lo, hi in (("goldilocks", 65536, 2, 34),
-                            ("babybear", 16384, 2, 34),
-                            ("frog", 65536, 2, 34),
-                            ("stark_prime", 4096, 2, 26)):
-        try:
-            ring = get_ring(name)
-            f = ring.field
-            rng = np.random.default_rng(1)
-            use_t = True
-            tm = TModelMul(ring)
-
-            def rand(nb):
-                if f.limbed:
-                    limbs = rng.integers(0, 1 << 32, size=(nb, ring.D, 8),
-                                         dtype=np.uint64)
-                    limbs[..., 7] &= (1 << 26) - 1
-                    return f.from_canon(
-                        jax.device_put(limbs.astype(np.uint32)))
-                dt_ = np.uint32 if f.dtype == np.uint32 else np.uint64
-                return f.from_canon(jax.device_put(
-                    rng.integers(0, f.q, size=(nb, ring.D), dtype=dt_)))
-
-            # exactness gate vs the integer spec (host oracle) BEFORE
-            # any rate is recorded on this path
-            a0, b0 = rand(2), rand(2)
-            mul1 = (tm.mul if use_t else
-                    lambda x, y: ring.icrt(ring.ntt_mul(ring.crt(x),
-                                                        ring.crt(y))))
-            got = ring.decode(jax.jit(mul1)(a0, b0))
-            ai, bi = ring.decode(a0), ring.decode(b0)
-            for r in range(2):
-                want = ring.spec.coeff_mul([int(v) for v in ai[r]],
-                                           [int(v) for v in bi[r]])
-                assert [int(v) for v in got[r]] == \
-                    [int(v) % ring.q for v in want], \
-                    f"{name} model-mul mismatch vs spec"
-
-            # digit tables as jit ARGUMENTS: constant-weight dots
-            # compile 1.1-2.7x slower on this stack (e41/e42)
-            cm = jax.device_put(tm.consts()) if tm is not None else None
-
-            def build(depth):
-                if use_t:
-                    a = jax.device_put(tm.to_t(rand(B)))
-                    bs = [jax.device_put(tm.to_t(rand(B)))
-                          for _ in range(depth)]
-
-                    def fn(cc, x, bs):
-                        for i in range(depth):
-                            x = tm.mul_t(x, bs[i], cc)
-                        return x
-                    return jax.jit(fn), (cm, a, bs)
-                a = rand(B)
-                bs = [rand(B) for _ in range(depth)]
-
-                def fn(x, bs):
-                    for i in range(depth):
-                        x = ring.icrt(ring.ntt_mul(ring.crt(x),
-                                                   ring.crt(bs[i])))
-                    return x
-                return jax.jit(fn), (a, bs)
-
-            rate, _ = chain_rate(build, B, lo=lo, hi=hi, reps=3,
-                                 cap=300e6)
-            out[name] = round(rate, 1)
-            layouts[name] = "batch_trailing" if use_t else "batch_leading"
-        except Exception as exc:  # noqa
-            print(f"model {name} failed ({type(exc).__name__}: {exc})",
-                  file=sys.stderr)
-            out[name] = None
-    return out, layouts
-
-
-def bigdeg_rates():
+def sec_bigdeg():
     """deg-2^18 / 2^20 Goldilocks ring mults via the single-module MXU
     path (sub-t fold chunking) — beyond-reference scale on ONE chip.
     deg-2^20 runs without the fused slot product: its fold2 kernel's
@@ -553,6 +701,10 @@ def bigdeg_rates():
     out = {}
     for logN, B, chunk, fusepw in ((18, 32, 128, True),
                                    (20, 8, 128, False)):
+        if DEADLINE - time.monotonic() < 60:
+            out[f"deg2^{logN}"] = "skipped_budget"
+            put(goldilocks_bigdeg_ring_mults_per_sec=dict(out))
+            continue
         try:
             N = 1 << logN
             tp = Mxu2PallasNTT(N, dma_folds=True, pointwise_pallas=True,
@@ -588,20 +740,19 @@ def bigdeg_rates():
             except (OSError, ImportError):
                 pass
             out[f"deg2^{logN}"] = round(rate, 1)
-        except Exception as exc:  # noqa
+        except Exception as exc:  # noqa: BLE001
             print(f"bigdeg 2^{logN} failed ({type(exc).__name__}: {exc})",
                   file=sys.stderr)
             out[f"deg2^{logN}"] = None
+        put(goldilocks_bigdeg_ring_mults_per_sec=dict(out))
     return out
 
 
-def mle20_eval_rate():
+def sec_mle20():
     """20-var dense-MLE full evaluation via the MXU two-contraction path
     (mle/mxu_eval.py: eval = u^T M v with int8 digit-plane dots) — the
-    BASELINE config-4 hot loop.  Measured 22.8k evals/s vs 9.7k for the
-    one-kernel Pallas halving path and ~0.2k for the XLA halving loop
-    (e30); gated exact vs the Pallas path on chip before the rate is
-    recorded."""
+    BASELINE config-4 hot loop; gated exact vs the Pallas path on chip
+    before the rate is recorded."""
     import jax
     import jax.numpy as jnp
 
@@ -635,122 +786,109 @@ def mle20_eval_rate():
 
     # span sized against tunnel noise: each eval is ~30-40 us, so the
     # differenced signal at hi-lo=256 is ~8-10 ms >> the few-ms jitter
-    # of a congested tunnel (hi=66 recorded 124.9k once — ABOVE the
-    # 8.4 MB/eval HBM bound of ~95k/s, i.e. pure measurement artifact)
     rate, _ = chain_rate(build, 1, lo=2, hi=258, reps=3)
-    # physical sanity clamp: one eval reads the 2^20 x 8 B table once
     hbm_ceiling = 800e9 / (8 * (1 << 20))
     if rate > hbm_ceiling:
         print(f"mle rate {rate:.0f}/s exceeds the HBM ceiling "
               f"{hbm_ceiling:.0f}/s; remeasuring with a deeper span",
               file=sys.stderr)
         rate, _ = chain_rate(build, 1, lo=2, hi=514, reps=3)
-    return round(rate, 1)
+    put(mle20_full_evaluate_per_sec=round(rate, 1),
+        mle20_eval_path="mxu_two_contractions")
+    return rate
+
+
+def sec_fallback():
+    """If the fused headline path fails entirely: round-1 radix-4 path
+    at deg 2^12 so the artifact still carries a real measured value."""
+    import jax  # noqa: F401 — device_put below
+
+    from stark_rings_tpu.fields import get_field
+    from stark_rings_tpu.ops.ntt import get_ntt
+
+    N, B = 1 << 12, 32
+    f = get_field("goldilocks")
+    ctx = get_ntt("goldilocks", N, negacyclic=True)
+    rng = np.random.default_rng(0)
+
+    def build(depth):
+        a = jax.device_put(rng.integers(0, f.q, size=(B, N),
+                                        dtype=np.uint64))
+        bs = [jax.device_put(rng.integers(0, f.q, size=(B, N),
+                                          dtype=np.uint64))
+              for _ in range(depth)]
+
+        def fn(x, bs):
+            for i in range(depth):
+                x = ctx.mul(x, bs[i])
+            return x
+        return jax.jit(fn), (a, bs)
+
+    rate, _ = chain_rate(build, B, lo=1, hi=3, reps=2)
+    put(metric="goldilocks_deg2^12_ring_mults_per_sec_per_chip",
+        fallback=True, value=round(rate, 3),
+        vs_baseline=round(rate / 5e8, 9), path="jnp_radix4", batch=B)
+    return rate
 
 
 def main():
     if "--tpucheck" in sys.argv:
         # kernel-exactness audit -> TPUCHECK_r{N}.json (benchmarks/tpucheck)
-        sys.path.insert(0, "benchmarks")
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
         import tpucheck
 
         sys.argv = [a for a in sys.argv if a != "--tpucheck"]
         tpucheck.main()
         return
+
+    install_guards()
+    setup_jax_cache()
+
+    import jax
+
+    put(device=str(jax.devices()[0]))
+
     N, B = 1 << 16, 80   # e46 re-sweep (u8 scheme, argument weights):
     #                      64/80/96/112 -> 15.0/15.3/15.1/14.2k single;
     #                      stacked peaks at B=40 (15.5k, effective
-    #                      forward batch 80).  Both candidates run; the
-    #                      chain stays compute-bound through 25 ms
-    #                      tunnel-congestion episodes
-    try:
-        rt_ms = tunnel_roundtrip_ms()
-        (path, ring_mults, pb, pw_rate, pw_path, all_rates,
-         cached_rate) = primary(N, B)
-    except Exception as exc:  # noqa
-        print(f"primary bench failed ({type(exc).__name__}: {exc}), "
-              "falling back to deg 2^12", file=sys.stderr)
-        _fallback(1 << 12, 32)
-        return
+    #                      forward batch 80)
+    run_section("tunnel", 5, lambda: put(
+        tunnel_roundtrip_ms=round(tunnel_roundtrip_ms(), 1)))
 
-    butterflies = ring_mults * 3 * (N // 2) * (N.bit_length() - 1)
-    models, model_layouts = model_rates()
+    st = None
     try:
-        bb_rate = babybear_pow2_rate()
-    except Exception as exc:  # noqa
-        print(f"babybear pow2 bench failed ({type(exc).__name__}: {exc})",
+        st = Headline(N, B)
+    except Exception as exc:  # noqa: BLE001
+        print(f"headline setup failed ({type(exc).__name__}: {exc})",
               file=sys.stderr)
-        bb_rate = None
-    try:
-        sk_rate = stark_pow2_rate()
-    except Exception as exc:  # noqa
-        print(f"stark pow2 bench failed ({type(exc).__name__}: {exc})",
-              file=sys.stderr)
-        sk_rate = None
-    try:
-        bigdeg = bigdeg_rates()
-    except Exception as exc:  # noqa
-        print(f"bigdeg bench failed ({type(exc).__name__}: {exc})",
-              file=sys.stderr)
-        bigdeg = None
-    try:
-        mle_rate = mle20_eval_rate()
-    except Exception as exc:  # noqa
-        print(f"mle bench failed ({type(exc).__name__}: {exc})",
-              file=sys.stderr)
-        mle_rate = None
+        mark("headline", f"failed:{type(exc).__name__}")
 
-    print(json.dumps({
-        "metric": f"goldilocks_deg2^{N.bit_length() - 1}"
-                  "_ring_mults_per_sec_per_chip",
-        "fallback": False,
-        "value": round(ring_mults, 3),
-        "unit": "ring mults/s",
-        "vs_baseline": round(ring_mults / 5e8, 9),
-        "path": path,
-        "path_rates_by_batch": all_rates,
-        "timing": "in_module_chain_depth_differenced_checksum_forced",
-        "tunnel_roundtrip_ms": round(rt_ms, 1),
-        "equiv_butterflies_per_sec": round(butterflies, 0),
-        "ntt_form_pointwise_ring_mults_per_sec": round(pw_rate, 1),
-        "pointwise_path": pw_path,
-        "fixed_operand_ring_mults_per_sec": cached_rate,
-        "model_crt_mults_per_sec": models,
-        "model_crt_layouts": model_layouts,
-        "babybear_deg2^12_ring_mults_per_sec": bb_rate,
-        "stark_prime_deg2^12_ring_mults_per_sec": sk_rate,
-        "goldilocks_bigdeg_ring_mults_per_sec": bigdeg,
-        "mle20_full_evaluate_per_sec": mle_rate,
-        "mle20_eval_path": "mxu_two_contractions",
-        "batch": pb,
-        "device": str(__import__("jax").devices()[0]),
-    }))
+    headline_rate = None
+    if st is not None:
+        headline_rate = run_section("headline", 0, lambda: sec_headline(st))
+    if headline_rate is None:
+        run_section("fallback_deg2^12", 60, sec_fallback)
+        emit(0)
 
+    # e50/e51 protocol rates — the round-3 claims the driver artifact
+    # must finally capture; measured immediately after the headline.
+    run_section("fixed_operand", 45, lambda: sec_fixed_operand(st))
+    run_section("challenge", 45, lambda: sec_challenge(st))
+    run_section("square", 45, lambda: sec_square(st))
 
-def _fallback(N, B):
-    import jax
+    run_section("stacked", 90, lambda: sec_stacked(st))
+    run_section("pointwise", 45, lambda: sec_pointwise(st))
+    run_section("models", 120, sec_models)
+    run_section("babybear_pow2", 60, sec_babybear_pow2)
+    run_section("stark_pow2", 60, sec_stark_pow2)
+    run_section("bigdeg", 120, sec_bigdeg)
+    run_section("mle20", 60, sec_mle20)
+    # pure comparison paths last: they inform, they don't gate
+    run_section("mxu2_xla", 90, lambda: sec_xla(st))
+    run_section("jnp_radix4", 60, lambda: sec_radix4(st))
 
-    from stark_rings_tpu.fields import get_field
-    from stark_rings_tpu.ops.ntt import get_ntt
-
-    f = get_field("goldilocks")
-    ctx = get_ntt("goldilocks", N, negacyclic=True)
-    rng = np.random.default_rng(0)
-    a = jax.device_put(rng.integers(0, f.q, size=(B, N), dtype=np.uint64))
-    b = jax.device_put(rng.integers(0, f.q, size=(B, N), dtype=np.uint64))
-    dt = chained_time(jax.jit(ctx.mul), a, b)
-    rate = B / dt
-    print(json.dumps({
-        "metric": f"goldilocks_deg2^{N.bit_length() - 1}"
-                  "_ring_mults_per_sec_per_chip",
-        "fallback": True,
-        "value": round(rate, 3),
-        "unit": "ring mults/s",
-        "vs_baseline": round(rate / 5e8, 9),
-        "path": "jnp_radix4",
-        "batch": B,
-        "device": str(jax.devices()[0]),
-    }))
+    emit(0)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,12 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
 
+if os.environ.get("SRT_PLATFORM"):  # smoke tests force "cpu" in-process
+    # must run BEFORE any jax.devices() probe: the environment pins the
+    # axon/TPU plugin at interpreter start, and the tunnel round trip can
+    # hang the smoke subprocess for purely environmental reasons
+    jax.config.update("jax_platforms", os.environ["SRT_PLATFORM"])
+
 
 def ensure_devices(n):
     if len(jax.devices()) >= n:

@@ -137,14 +137,42 @@ class Matrix:
         dig = self.vals.reshape((n, mk // k, k) + f.limb_shape)
         return Matrix(self.e, recompose(f, dig, b))
 
-    def mul_mat(self, other):
-        """checked_mul_mat: [n,k]+e @ [k,m]+e -> [n,m]+e."""
+    # Intermediate budget for the blocked mul_mat: uint64 words
+    # materialized per k-block (2^25 words = 256 MB).
+    _MULMAT_BUDGET_WORDS = 1 << 25
+
+    def mul_mat(self, other, block: int | None = None):
+        """checked_mul_mat: [n,k]+e @ [k,m]+e -> [n,m]+e.
+
+        k-BLOCKED: only [n, block, m]+e of products is ever live; each
+        block is widened to base-2^32 words and added into one
+        [n, m]+e+words uint64 accumulator (exact for up to 2^32 addends),
+        with a single fold mod q at the end — a 256x256x256 Goldilocks-
+        ring matmul peaks at the block budget instead of the ~25 GB the
+        naive [n,k,m]+e product would allocate (reference: triple loop,
+        matrix.rs:148-188)."""
         if self.ncols != other.nrows:
             from . import AlgebraError
 
             raise AlgebraError(
                 f"DifferentLengths: {self.ncols} vs {other.nrows}")
-        a = self.vals[:, :, None]       # [n, k, 1]+e
-        b = other.vals[None]            # [1, k, m]+e
-        prod = self.e.mul(a, b)
-        return Matrix(self.e, self.e.sum(prod, axis=1))
+        f = self.e.f
+        k = self.ncols
+        elem_words = int(np.prod(self.e.elem_shape, dtype=np.int64)) \
+            if self.e.elem_shape else 1
+        if not f.limbed:
+            elem_words *= f.n_words
+        if block is None:
+            per_slice = max(1, self.nrows * other.ncols * elem_words)
+            block = max(1, min(k, self._MULMAT_BUDGET_WORDS // per_slice))
+        if block >= k:
+            prod = self.e.mul(self.vals[:, :, None], other.vals[None])
+            return Matrix(self.e, self.e.sum(prod, axis=1))
+        acc = None
+        for s in range(0, k, block):
+            a = self.vals[:, s:s + block, None]     # [n, kb, 1]+e
+            b = other.vals[None, s:s + block]       # [1, kb, m]+e
+            w = f.widen(self.e.mul(a, b))           # [n, kb, m]+e+[W]
+            w = jnp.sum(w, axis=1)
+            acc = w if acc is None else acc + w
+        return Matrix(self.e, f.reduce_words(acc))

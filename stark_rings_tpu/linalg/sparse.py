@@ -214,34 +214,36 @@ class SparseMatrix:
 
             raise AlgebraError(
                 f"DifferentLengths: {self.ncols} vs {other.nrows}")
-        from collections import defaultdict
-
-        ra = np.asarray(self.rows)
-        ka = np.asarray(self.cols)
-        kb = np.asarray(other.rows)
-        cb = np.asarray(other.cols)
-        by_row = defaultdict(list)
-        for j in range(len(kb)):
-            by_row[int(kb[j])].append(j)
-        ia, ib, keys = [], [], []
-        for i in range(len(ra)):
-            for j in by_row.get(int(ka[i]), ()):
-                ia.append(i)
-                ib.append(j)
-                keys.append((int(ra[i]), int(cb[j])))
+        ra = np.asarray(self.rows, dtype=np.int64)
+        ka = np.asarray(self.cols, dtype=np.int64)
+        kb = np.asarray(other.rows, dtype=np.int64)
+        cb = np.asarray(other.cols, dtype=np.int64)
+        # vectorized equi-join (searchsorted over B's sorted row index):
+        # O((nnz_a + nnz_b) log nnz_b + matches) numpy host time, no
+        # per-entry Python loops — 10^5-nnz joins build in well under 1 s.
+        order = np.argsort(kb, kind="stable")
+        kb_sorted = kb[order]
+        starts = np.searchsorted(kb_sorted, ka, side="left")
+        ends = np.searchsorted(kb_sorted, ka, side="right")
+        counts = ends - starts
+        total = int(counts.sum())
         f = self.e.f
-        if not ia:   # empty product: one zero padding entry
+        if total == 0:   # empty product: one zero padding entry
             data = jnp.zeros((1,) + self.data.shape[1:], self.data.dtype)
             return SparseMatrix(self.e, self.nrows, other.ncols, data,
                                 np.zeros(1, np.int32), np.zeros(1, np.int32))
-        uniq = sorted(set(keys))
-        pos = {k: t for t, k in enumerate(uniq)}
-        seg = np.asarray([pos[k] for k in keys], dtype=np.int32)
-        prod = self.e.mul(jnp.take(self.data, np.asarray(ia), axis=0),
-                          jnp.take(other.data, np.asarray(ib), axis=0))
-        out_data = f.segment_sum(prod, seg, len(uniq))
-        rows = np.asarray([k[0] for k in uniq], dtype=np.int32)
-        cols = np.asarray([k[1] for k in uniq], dtype=np.int32)
+        ia = np.repeat(np.arange(len(ra), dtype=np.int64), counts)
+        # intra-group offsets: global arange minus each group's start
+        grp_start = np.repeat(np.cumsum(counts) - counts, counts)
+        ib = order[np.repeat(starts, counts)
+                   + (np.arange(total, dtype=np.int64) - grp_start)]
+        keys = ra[ia] * np.int64(other.ncols) + cb[ib]
+        uniq, seg = np.unique(keys, return_inverse=True)
+        prod = self.e.mul(jnp.take(self.data, ia, axis=0),
+                          jnp.take(other.data, ib, axis=0))
+        out_data = f.segment_sum(prod, seg.astype(np.int32), len(uniq))
+        rows = (uniq // other.ncols).astype(np.int32)
+        cols = (uniq % other.ncols).astype(np.int32)
         return SparseMatrix(self.e, self.nrows, other.ncols, out_data,
                             rows, cols)
 

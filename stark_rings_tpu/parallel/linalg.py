@@ -91,6 +91,15 @@ class ShardedSparseMatVec:
         return data, rows, cols
 
     def make_matvec_fn(self, nrows: int):
+        # cached per nrows: each compiled fn re-specializes only on the
+        # (padded) nnz via jit's shape polymorphism — without the cache
+        # every mul_vec call re-built the shard_map closure and paid a
+        # fresh remote compile (30s-10min on the TPU tunnel)
+        cache = getattr(self, "_fn_cache", None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        if nrows in cache:
+            return cache[nrows]
         e = self.e
         f = e.f
         axis = self.axis
@@ -107,9 +116,11 @@ class ShardedSparseMatVec:
             return f.reduce_words(total)
 
         in_specs = (P(axis, *tail), P(axis), P(axis), P(None, *tail))
-        return jax.jit(jax.shard_map(
+        fn = jax.jit(jax.shard_map(
             local, mesh=self.mesh, in_specs=in_specs,
             out_specs=P(None, *tail), check_vma=False))
+        cache[nrows] = fn
+        return fn
 
     def mul_vec(self, smat, v):
         """One-shot: sharded smat @ v, checked like mul_vec."""

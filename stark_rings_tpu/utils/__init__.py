@@ -15,6 +15,12 @@ from .serialize import (
     sparse_mle_to_bytes,
     vec_from_bytes,
     vec_to_bytes,
+    serialize_compressed,
+    serialize_uncompressed,
+    deserialize_compressed,
+    deserialize_compressed_unchecked,
+    deserialize_uncompressed,
+    deserialize_uncompressed_unchecked,
 )
 from .trace import trace_span
 
@@ -26,4 +32,7 @@ __all__ = [
     "sparse_matrix_to_bytes", "sparse_matrix_from_bytes",
     "dense_mle_to_bytes", "dense_mle_from_bytes",
     "sparse_mle_to_bytes", "sparse_mle_from_bytes",
+    "serialize_compressed", "serialize_uncompressed",
+    "deserialize_compressed", "deserialize_compressed_unchecked",
+    "deserialize_uncompressed", "deserialize_uncompressed_unchecked",
 ]

@@ -2,10 +2,29 @@
 derive on ring elements coeff_form.rs:154-189, matrices matrix.rs:111-145,
 MLEs dense.rs:17).
 
-Layout matches arkworks' compressed mode for the structures parity tests
-exercise: a field element is the little-endian canonical integer in
-ceil(modulus_bits / 8) bytes; a Vec is a u64 LE length prefix followed by
-items; a matrix is nrows, ncols (u64 LE) then row-major elements."""
+Layout matches arkworks for the structures parity tests exercise: a field
+element is the little-endian canonical integer in ceil(modulus_bits / 8)
+bytes; a Vec is a u64 LE length prefix followed by items; a matrix is
+nrows, ncols (u64 LE) then row-major elements.
+
+Serialization MODES (arkworks Compress / Validate, serialize.rs):
+
+* ``compress`` — for prime-field containers the compressed and
+  uncompressed byte streams are IDENTICAL (Fp has no point compression;
+  arkworks' derive writes the same bytes for both modes on every
+  structure here).  The flag is accepted and byte-tested equal, exactly
+  matching the reference's observable behavior.
+* ``validate`` — arkworks' ``Validate::No`` skips *structural* invariant
+  checks; Fp canonicity is ALWAYS enforced (ark-ff Fp deserialization
+  goes through ``from_bigint``, which rejects values >= q regardless of
+  the flag).  Here ``validate=False`` likewise skips structure-level
+  asserts (symmetric row lengths, elen == 2^num_vars, outer-vec count)
+  while every element read still asserts canonicity.
+
+The six arkworks entry points (``serialize_compressed``,
+``serialize_uncompressed``, ``deserialize_compressed[_unchecked]``,
+``deserialize_uncompressed[_unchecked]``) are provided as type-dispatched
+wrappers at the bottom."""
 
 from __future__ import annotations
 
@@ -23,6 +42,9 @@ __all__ = [
     "sparse_matrix_to_bytes", "sparse_matrix_from_bytes",
     "dense_mle_to_bytes", "dense_mle_from_bytes",
     "sparse_mle_to_bytes", "sparse_mle_from_bytes",
+    "serialize_compressed", "serialize_uncompressed",
+    "deserialize_compressed", "deserialize_compressed_unchecked",
+    "deserialize_uncompressed", "deserialize_uncompressed_unchecked",
 ]
 
 
@@ -30,14 +52,15 @@ def elem_nbytes(f: Field) -> int:
     return (f.bits + 7) // 8
 
 
-def elements_to_bytes(f: Field, x) -> bytes:
+def elements_to_bytes(f: Field, x, compress: bool = True) -> bytes:
     """Serialize every element of a storage tensor, row-major, no header."""
     nb = elem_nbytes(f)
     vals = np.asarray(f.decode(x), dtype=object).reshape(-1)
     return b"".join(int(v).to_bytes(nb, "little") for v in vals)
 
 
-def elements_from_bytes(f: Field, data: bytes, shape):
+def elements_from_bytes(f: Field, data: bytes, shape,
+                        compress: bool = True, validate: bool = True):
     nb = elem_nbytes(f)
     count = int(np.prod(shape, dtype=np.int64)) if shape else 1
     assert len(data) >= count * nb, "short buffer"
@@ -49,12 +72,13 @@ def elements_from_bytes(f: Field, data: bytes, shape):
     return f.encode(out.reshape(shape) if shape else out[0])
 
 
-def vec_to_bytes(f: Field, x, n: int) -> bytes:
+def vec_to_bytes(f: Field, x, n: int, compress: bool = True) -> bytes:
     """u64 LE length prefix + elements (arkworks Vec layout)."""
     return struct.pack("<Q", n) + elements_to_bytes(f, x)
 
 
-def vec_from_bytes(f: Field, data: bytes, elem_shape=()):
+def vec_from_bytes(f: Field, data: bytes, elem_shape=(),
+                   compress: bool = True, validate: bool = True):
     (n,) = struct.unpack_from("<Q", data, 0)
     body = data[8:]
     shape = (n,) + tuple(elem_shape)
@@ -124,7 +148,7 @@ def _encode_elems(elems, int_rows):
     return elems.encode(arr)
 
 
-def matrix_to_bytes(mat) -> bytes:
+def matrix_to_bytes(mat, compress: bool = True) -> bytes:
     """Matrix -> arkworks Vec<Vec<R>> compressed bytes."""
     rows = _decode_flat(mat.e, mat.vals)
     ncols = mat.ncols
@@ -136,7 +160,8 @@ def matrix_to_bytes(mat) -> bytes:
     return b"".join(out)
 
 
-def matrix_from_bytes(elems, data: bytes):
+def matrix_from_bytes(elems, data: bytes,
+                      compress: bool = True, validate: bool = True):
     from ..linalg import Matrix
 
     (nrows,) = struct.unpack_from("<Q", data, 0)
@@ -154,7 +179,7 @@ def matrix_from_bytes(elems, data: bytes):
     return Matrix(elems, vals.reshape(shape))
 
 
-def symmetric_matrix_to_bytes(sym) -> bytes:
+def symmetric_matrix_to_bytes(sym, compress: bool = True) -> bytes:
     """SymmetricMatrix -> arkworks Vec<Vec<F>> compressed bytes.
 
     The reference serializes the packed lower-triangular rows directly
@@ -171,7 +196,8 @@ def symmetric_matrix_to_bytes(sym) -> bytes:
     return b"".join(out)
 
 
-def symmetric_matrix_from_bytes(elems, data: bytes):
+def symmetric_matrix_from_bytes(elems, data: bytes,
+                                compress: bool = True, validate: bool = True):
     from ..linalg import SymmetricMatrix
 
     (n,) = struct.unpack_from("<Q", data, 0)
@@ -179,7 +205,8 @@ def symmetric_matrix_from_bytes(elems, data: bytes):
     flat = []
     for i in range(n):
         (rl,) = struct.unpack_from("<Q", data, off)
-        assert rl == i + 1, "row i must have i+1 entries"
+        if validate:
+            assert rl == i + 1, "row i must have i+1 entries"
         off += 8
         for _ in range(rl):
             e, off = _read_elem(elems, data, off)
@@ -188,7 +215,7 @@ def symmetric_matrix_from_bytes(elems, data: bytes):
     return SymmetricMatrix(elems, n, vals)
 
 
-def sparse_matrix_to_bytes(sp) -> bytes:
+def sparse_matrix_to_bytes(sp, compress: bool = True) -> bytes:
     """SparseMatrix -> u64 nrows, u64 ncols, Vec<Vec<(R, u64 col)>>.
 
     Entries are emitted in (row, col) order; all-zero (padding) entries
@@ -211,12 +238,14 @@ def sparse_matrix_to_bytes(sp) -> bytes:
     return b"".join(out)
 
 
-def sparse_matrix_from_bytes(elems, data: bytes):
+def sparse_matrix_from_bytes(elems, data: bytes,
+                             compress: bool = True, validate: bool = True):
     from ..linalg import SparseMatrix
 
     nrows, ncols = struct.unpack_from("<QQ", data, 0)
     (outer,) = struct.unpack_from("<Q", data, 16)
-    assert outer == nrows
+    if validate:
+        assert outer == nrows
     off = 24
     entries = []
     for r in range(nrows):
@@ -240,7 +269,7 @@ def sparse_matrix_from_bytes(elems, data: bytes):
                         _encode_elems(elems, int_rows), rr, cc)
 
 
-def dense_mle_to_bytes(mle) -> bytes:
+def dense_mle_to_bytes(mle, compress: bool = True) -> bytes:
     """DenseMLE -> Vec<R> (trailing-zero truncated), u64 num_vars,
     u64 elen, R zero (dense.rs:17-24 field order)."""
     vals = _decode_flat(mle.e, mle.evals)
@@ -258,7 +287,8 @@ def dense_mle_to_bytes(mle) -> bytes:
     return b"".join(out)
 
 
-def dense_mle_from_bytes(elems, data: bytes):
+def dense_mle_from_bytes(elems, data: bytes,
+                         compress: bool = True, validate: bool = True):
     from ..mle import DenseMLE
 
     (n,) = struct.unpack_from("<Q", data, 0)
@@ -268,14 +298,15 @@ def dense_mle_from_bytes(elems, data: bytes):
         e, off = _read_elem(elems, data, off)
         rows.append(tuple(e))
     num_vars, elen = struct.unpack_from("<QQ", data, off)
-    assert elen == 1 << num_vars
+    if validate:
+        assert elen == 1 << num_vars
     ring = getattr(elems, "ring", None)
     width = ring.D if ring is not None else 1
     rows += [(0,) * width] * (elen - n)
     return DenseMLE(elems, num_vars, _encode_elems(elems, rows))
 
 
-def sparse_mle_to_bytes(mle) -> bytes:
+def sparse_mle_to_bytes(mle, compress: bool = True) -> bytes:
     """SparseMLE -> BTreeMap<u64, R> (ascending keys, duplicates summed),
     u64 num_vars, R zero (sparse.rs:24-31 field order)."""
     vals = _decode_flat(mle.e, mle.values)
@@ -300,7 +331,8 @@ def sparse_mle_to_bytes(mle) -> bytes:
     return b"".join(out)
 
 
-def sparse_mle_from_bytes(elems, data: bytes):
+def sparse_mle_from_bytes(elems, data: bytes,
+                          compress: bool = True, validate: bool = True):
     from ..mle import SparseMLE
 
     (n,) = struct.unpack_from("<Q", data, 0)
@@ -321,3 +353,64 @@ def sparse_mle_from_bytes(elems, data: bytes):
     for i, (k, _) in enumerate(pairs):
         idx[i] = k
     return SparseMLE(elems, num_vars, idx, _encode_elems(elems, int_rows))
+
+
+# ---------------------------------------------------------------------------
+# arkworks-style mode entry points (serialize.rs: serialize_compressed /
+# serialize_uncompressed / deserialize_{compressed,uncompressed}[_unchecked])
+# ---------------------------------------------------------------------------
+
+_TO_BYTES = {
+    "Matrix": matrix_to_bytes,
+    "SymmetricMatrix": symmetric_matrix_to_bytes,
+    "SparseMatrix": sparse_matrix_to_bytes,
+    "DenseMLE": dense_mle_to_bytes,
+    "SparseMLE": sparse_mle_to_bytes,
+}
+
+_FROM_BYTES = {
+    "Matrix": matrix_from_bytes,
+    "SymmetricMatrix": symmetric_matrix_from_bytes,
+    "SparseMatrix": sparse_matrix_from_bytes,
+    "DenseMLE": dense_mle_from_bytes,
+    "SparseMLE": sparse_mle_from_bytes,
+}
+
+
+def _dispatch_to(obj, compress: bool) -> bytes:
+    fn = _TO_BYTES.get(type(obj).__name__)
+    if fn is None:
+        raise TypeError(f"no codec for {type(obj).__name__}")
+    return fn(obj, compress=compress)
+
+
+def _dispatch_from(cls, elems, data: bytes, compress: bool, validate: bool):
+    name = cls if isinstance(cls, str) else cls.__name__
+    fn = _FROM_BYTES.get(name)
+    if fn is None:
+        raise TypeError(f"no codec for {name}")
+    return fn(elems, data, compress=compress, validate=validate)
+
+
+def serialize_compressed(obj) -> bytes:
+    return _dispatch_to(obj, compress=True)
+
+
+def serialize_uncompressed(obj) -> bytes:
+    return _dispatch_to(obj, compress=False)
+
+
+def deserialize_compressed(cls, elems, data: bytes):
+    return _dispatch_from(cls, elems, data, compress=True, validate=True)
+
+
+def deserialize_compressed_unchecked(cls, elems, data: bytes):
+    return _dispatch_from(cls, elems, data, compress=True, validate=False)
+
+
+def deserialize_uncompressed(cls, elems, data: bytes):
+    return _dispatch_from(cls, elems, data, compress=False, validate=True)
+
+
+def deserialize_uncompressed_unchecked(cls, elems, data: bytes):
+    return _dispatch_from(cls, elems, data, compress=False, validate=False)

@@ -19,8 +19,12 @@ from stark_rings_tpu.decomp import (
     decomposition_max_length,
     gadget_decompose,
     gadget_recompose,
+    l2_check,
+    l2_norm_squared,
+    l2_norm_squared_words,
     recompose,
     sign,
+    words_to_int,
 )
 from stark_rings_tpu.fields import FIELDS, Field, get_field
 from stark_rings_tpu.spec.decomp import (
@@ -124,6 +128,38 @@ def test_center_sign(name):
         s = to_signed(v, q)
         assert got_c[i] == abs(s) % q, (name, v)
         assert got_s[i] == (1 if s >= 0 else q - 1), (name, v)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_l2_norm_traced_matches_host(name):
+    """Traced exact L2 (word-convolution squares + carry normalization)
+    == the host BigUint-style sum of squares, incl. extreme magnitudes;
+    batched axis semantics; traced bound check at the exact boundary."""
+    f = get_field(name)
+    q = f.q
+    rng = random.Random(11)
+    vals = [[0, 1, q - 1, (q - 1) // 2, (q + 1) // 2] +
+            [rng.randrange(q) for _ in range(45)] for _ in range(3)]
+    x = f.encode(np.array(vals, dtype=object))
+
+    words = jax.jit(lambda x: l2_norm_squared_words(f, x))(x)
+    want = l2_norm_squared(f, x)
+    assert words_to_int(words) == want, name
+
+    # batched: reduce the element axis only, one norm per row
+    wb = jax.jit(lambda x: l2_norm_squared_words(f, x, axis=-1))(x)
+    assert wb.shape[0] == 3
+    for i in range(3):
+        assert words_to_int(wb[i]) == l2_norm_squared(f, x[i]), (name, i)
+
+    # traced bound check, exact boundary both sides
+    assert bool(jax.jit(lambda x: l2_check(f, x, want))(x))
+    assert not bool(jax.jit(lambda x: l2_check(f, x, want - 1))(x))
+    row_bound = l2_norm_squared(f, x[1])
+    per_row = jax.jit(lambda x: l2_check(f, x, row_bound, axis=-1))(x)
+    assert list(np.asarray(per_row)) == [
+        l2_norm_squared(f, x[i]) <= l2_norm_squared(f, x[1])
+        for i in range(3)], name
 
 
 # -- full-range device roundtrip over a small synthetic modulus ----------

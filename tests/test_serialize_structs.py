@@ -149,3 +149,58 @@ def test_symmetric_matrix_golden_bytes():
     back = symmetric_matrix_from_bytes(e, got)
     assert back.n == 3
     assert (np.asarray(back.vals) == np.asarray(S.vals)).all()
+
+
+def test_modes_compressed_equals_uncompressed_and_validate_gate():
+    """arkworks mode parity: for prime-field containers the compressed
+    and uncompressed streams are byte-identical (Fp has no point
+    compression); Validate::No skips STRUCTURAL checks only — element
+    canonicity is always enforced (ark-ff from_bigint rejects >= q
+    regardless of the flag)."""
+    import pytest
+
+    from stark_rings_tpu.linalg import SymmetricMatrix
+    from stark_rings_tpu.utils import (
+        deserialize_compressed, deserialize_compressed_unchecked,
+        deserialize_uncompressed, deserialize_uncompressed_unchecked,
+        serialize_compressed, serialize_uncompressed)
+
+    ring = get_ring("goldilocks")
+    er = RingElems(ring)
+    f = get_field("goldilocks")
+    e = FieldElems(f)
+    rng = random.Random(41)
+
+    objs = [
+        Matrix.rand(er, 2, 3, rng),
+        SymmetricMatrix.from_rows(e, [[5], [6, 7], [8, 9, 10]]),
+        SparseMatrix.from_entries(e, 3, 3, [(0, 1, 7), (2, 0, 9)]),
+        DenseMLE.rand(er, 3, rng),
+        SparseMLE.from_pairs(e, 4, [(3, 11), (9, 12)]),
+    ]
+    for obj in objs:
+        comp = serialize_compressed(obj)
+        uncomp = serialize_uncompressed(obj)
+        assert comp == uncomp, type(obj).__name__
+        elems = obj.e
+        for de in (deserialize_compressed, deserialize_compressed_unchecked,
+                   deserialize_uncompressed,
+                   deserialize_uncompressed_unchecked):
+            back = de(type(obj), elems, comp)
+            assert serialize_compressed(back) == comp, \
+                (type(obj).__name__, de.__name__)
+
+    # structural validate gate: patch the SparseMatrix outer-vec count
+    sp = SparseMatrix.from_entries(e, 3, 3, [(0, 1, 7), (2, 0, 9)])
+    raw = bytearray(serialize_compressed(sp))
+    raw[16:24] = struct.pack("<Q", 99)      # outer != nrows
+    with pytest.raises(AssertionError):
+        deserialize_compressed(SparseMatrix, e, bytes(raw))
+    back = deserialize_compressed_unchecked(SparseMatrix, e, bytes(raw))
+    assert back.nrows == 3 and back.ncols == 3
+
+    # element canonicity is enforced even unchecked: q as raw bytes
+    bad = bytearray(serialize_compressed(Matrix.from_ints(e, [[1]])))
+    bad[16:24] = struct.pack("<Q", f.q)     # first element := q
+    with pytest.raises(AssertionError):
+        deserialize_compressed_unchecked(Matrix, e, bytes(bad))
