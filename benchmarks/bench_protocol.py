@@ -7,33 +7,64 @@ batched monomial range checks, and 20-var MLE evaluation.
 Timing: in-module dependent chains, depth-differenced (see bench.py
 chain_rate) — immune to the tunnel's per-dispatch latency.
 
-Writes benchmarks/PROTO_r{round}.json and prints it.
+Writes benchmarks/PROTO_r{round}.json and prints it.  Budget-guarded
+like bench.py: SRT_PROTO_BUDGET_S (default 900 s) bounds the run; the
+artifact is (re)written after EVERY section and a watchdog thread emits
+whatever has been measured and exits 0 at the deadline, so a timeout can
+never lose the finished sections.  The persistent compile cache makes
+re-runs cheap.
 
 Run:  python benchmarks/bench_protocol.py
 """
 import json
+import os
 import pathlib
 import random
 import sys
+import threading
 import time
 
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+BUDGET_S = float(os.environ.get("SRT_PROTO_BUDGET_S", "900"))
+DEADLINE = time.monotonic() + BUDGET_S
+ARTIFACT = pathlib.Path(__file__).parent / "PROTO_r04.json"
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import chain_rate
+    from bench import chain_rate, setup_jax_cache
+
+    setup_jax_cache()
     from stark_rings_tpu.decomp import gadget_decompose
     from stark_rings_tpu.linalg import FieldElems, Matrix, RingElems
     from stark_rings_tpu.mle import DenseMLE
     from stark_rings_tpu.rings import get_ring
     from stark_rings_tpu.rings.monomial import psi_range_check_batched
 
-    out = {"device": str(jax.devices()[0])}
+    out = {"device": str(jax.devices()[0]), "budget_s": BUDGET_S}
+
+    def flush():
+        ARTIFACT.write_text(json.dumps(out) + "\n")
+
+    def watchdog():
+        while True:
+            left = DEADLINE - time.monotonic()
+            if left <= 0:
+                break
+            time.sleep(min(left, 5.0))
+        out["budget_expired"] = True
+        flush()
+        print(json.dumps(out))
+        sys.stdout.flush()
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     rng = random.Random(11)
     nrng = np.random.default_rng(11)
 
@@ -86,6 +117,7 @@ def main():
     except Exception as exc:  # noqa
         print(f"commit bench failed: {exc}", file=sys.stderr)
         out["ajtai_commit_n8_L1024_per_s"] = None
+    flush()
 
     # ---- gadget decomposition throughput (coeff-form witnesses) --------
     B, base, k = 4096, 256, 9
@@ -108,6 +140,7 @@ def main():
     except Exception as exc:  # noqa
         print(f"decomp bench failed: {exc}", file=sys.stderr)
         out["gadget_decompose_elems_per_s"] = None
+    flush()
 
     # ---- batched psi range check (monomial.rs:82-93 on tensors) --------
     fr = get_ring("frog")
@@ -134,6 +167,7 @@ def main():
     except Exception as exc:  # noqa
         print(f"range-check bench failed: {exc}", file=sys.stderr)
         out["psi_range_check_elems_per_s"] = None
+    flush()
 
     # ---- 20-var dense MLE full evaluation (config 4's hot loop) --------
     fe = FieldElems(f)
@@ -160,6 +194,7 @@ def main():
     except Exception as exc:  # noqa
         print(f"mle bench failed: {exc}", file=sys.stderr)
         out["mle20_full_evaluate_xla_halving_per_s"] = None
+    flush()
 
     # ---- same, via the one-kernel Pallas evaluation (mle/pallas_fix) ----
     from stark_rings_tpu.mle.pallas_fix import evaluate_goldilocks_pallas
@@ -183,6 +218,7 @@ def main():
     except Exception as exc:  # noqa
         print(f"mle pallas bench failed: {exc}", file=sys.stderr)
         out["mle20_full_evaluate_pallas_per_s"] = None
+    flush()
 
     # ---- same, via the MXU two-contraction path (mle/mxu_eval) ---------
     from stark_rings_tpu.mle.mxu_eval import evaluate_goldilocks_mxu
@@ -206,6 +242,7 @@ def main():
     except Exception as exc:  # noqa
         print(f"mle mxu bench failed: {exc}", file=sys.stderr)
         out["mle20_full_evaluate_mxu_per_s"] = None
+    flush()
 
     # ---- point-BATCHED evaluation: one shared table contraction --------
     from stark_rings_tpu.mle.mxu_eval import evaluate_many_goldilocks_mxu
@@ -233,6 +270,7 @@ def main():
     except Exception as exc:  # noqa
         print(f"mle many bench failed: {exc}", file=sys.stderr)
         out[f"mle20_evaluate_many_W{W}_points_per_s"] = None
+    flush()
 
     # ---- full 20-var sumcheck prover arithmetic (one jit module) -------
     from stark_rings_tpu.mle.sumcheck import sumcheck_prove_with_challenges
@@ -264,6 +302,7 @@ def main():
     except Exception as exc:  # noqa
         print(f"sumcheck bench failed: {exc}", file=sys.stderr)
         out["sumcheck20_product_proofs_per_s"] = None
+    flush()
 
     # ---- folding combine: w' = c*w + v with a FIXED challenge c --------
     # the LatticeFold-line fold step over deg-2^16 witnesses; c's forward
@@ -298,11 +337,56 @@ def main():
     except Exception as exc:  # noqa
         print(f"fold combine bench failed: {exc}", file=sys.stderr)
         out["fold_combine_deg2^16_witnesses_per_s"] = None
+    flush()
+
+    # ---- composed folding step (protocol/folding.py): ONE jit module ---
+    # challenge fold + icrt + gadget decompose + traced exact L2 + crt +
+    # Ajtai digit commitment, all inside one trace.  The per-stage rates
+    # above leave dispatch fusion on the table; this is the rate a prover
+    # actually gets per folding step (PERF_NOTES "Composed folding step"
+    # reconciles the two).
+    from stark_rings_tpu.protocol import FoldingStep
+
+    Wf, Lf, nf = 16, 1024, 8
+    fs = FoldingStep(ring, n_rows=nf, wit_len=Lf, base=256)
+
+    def build_foldstep(depth):
+        r2 = random.Random(13)
+        cP = jax.device_put(fs.init_tables(r2))
+        rt = jax.device_put(
+            fs.precompute_challenge(ring.rand_coeff((), r2)))
+        s0 = jax.device_put(fs.rand_witness(Wf, r2))
+        s1 = jax.device_put(fs.rand_witness(Wf, r2))
+        c0 = jax.device_put(fs.tm.to_t(jnp.asarray(
+            np.asarray(ring.rand_ntt((Wf, nf), r2)))))
+        c1 = jax.device_put(fs.tm.to_t(jnp.asarray(
+            np.asarray(ring.rand_ntt((Wf, nf), r2)))))
+
+        def fn(cP, s0, s1, c0, c1, rt):
+            for _ in range(depth):
+                o = fs.step(cP, s0, s1, c0, c1, rt)
+                # dependent chain: folded witness + digit commitment feed
+                # the next step; the L2 check bit perturbs an operand so
+                # no stage can be elided
+                mask = o["ok_l2"].astype(jnp.uint64)[None, :, None]
+                s1 = f.add(s1, mask)
+                s0, c0 = o["s"], o["cd"]
+            return s0
+        return jax.jit(fn), (cP, s0, s1, c0, c1, rt)
+
+    try:
+        rate, _ = chain_rate(build_foldstep, Wf, lo=1, hi=5, reps=3)
+        out["folding_step_composed_W16_L1024_per_s"] = round(rate, 2)
+        out["folding_step_stages"] = \
+            "challenge_fold+icrt+gadget_decompose+l2_check+crt+commit_n8"
+    except Exception as exc:  # noqa
+        print(f"folding step bench failed: {exc}", file=sys.stderr)
+        out["folding_step_composed_W16_L1024_per_s"] = None
+    flush()
 
     line = json.dumps(out)
     print(line)
-    path = pathlib.Path(__file__).parent / "PROTO_r03.json"
-    path.write_text(line + "\n")
+    flush()
 
 
 if __name__ == "__main__":

@@ -9,23 +9,34 @@ bench shape against an independent oracle (the native C++ host library
 for the big-degree paths, the XLA formulation or the integer spec for
 the rest) and emits one JSON object per kernel: {name, shape, ok}.
 
+Budget-guarded (round 4): SRT_TPUCHECK_BUDGET_S (default 480 s) bounds
+the run; the artifact is rewritten after EVERY check and a watchdog
+thread emits the partial result and exits 0 at the deadline (round 3's
+full audit took 544 s — most of a driver window).  The heavy deg-2^18 /
+2^20 compiles run LAST so the production deg-2^16 kernels always land.
+
 Run: python benchmarks/tpucheck.py [outfile]   (also: bench.py --tpucheck)
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 _Q = 2**64 - 2**32 + 1
 
+BUDGET_S = float(os.environ.get("SRT_TPUCHECK_BUDGET_S", "480"))
+DEADLINE = time.monotonic() + BUDGET_S
+
 
 def _rand(rng, shape, q=_Q, dtype=np.uint64):
     return rng.integers(0, q, size=shape, dtype=dtype)
 
 
-def run_checks():
+def run_checks(flush=lambda: None, checks=None):
     import jax
     import jax.numpy as jnp
 
@@ -36,15 +47,17 @@ def run_checks():
     from stark_rings_tpu.fields import GOLDILOCKS as F
 
     rng = np.random.default_rng(2024)
-    checks = []
+    checks = [] if checks is None else checks
 
     def record(name, shape, ok, note=""):
-        entry = {"kernel": name, "shape": shape, "ok": bool(ok)}
+        entry = {"kernel": name, "shape": shape,
+                 "ok": None if ok is None else bool(ok)}
         if note:
             entry["note"] = note
         checks.append(entry)
-        print(f"  {name} {shape}: {'OK' if ok else 'MISMATCH'}",
-              file=sys.stderr)
+        state = "SKIPPED" if ok is None else ("OK" if ok else "MISMATCH")
+        print(f"  {name} {shape}: {state}", file=sys.stderr)
+        flush()
 
     # ---- deg-2^16 epilogue kernels vs the XLA fold formulation ---------
     N, B = 1 << 16, 8
@@ -104,9 +117,7 @@ def run_checks():
 
         for logN, Bm, kw in (
                 (16, 4, dict(fuse_pointwise=True)),
-                (16, 4, dict(fuse_pointwise=True, stack_forward=True)),
-                (18, 2, dict(fuse_pointwise=True, fold_chunk=128)),
-                (20, 1, dict(fuse_pointwise=False, fold_chunk=128))):
+                (16, 4, dict(fuse_pointwise=True, stack_forward=True))):
             Nn = 1 << logN
             tp = Mxu2PallasNTT(Nn, dma_folds=True, pointwise_pallas=True,
                                **kw)
@@ -205,25 +216,88 @@ def run_checks():
     record("mle.mxu_eval.evaluate[nv=20]", [1 << nv],
            v_mxu == v_xla, note="vs XLA halving loop")
 
+    # ---- heavy big-degree fused multiplies LAST (budget-guarded): their
+    # remote compiles dominate the audit's wall clock ---------------------
+    try:
+        from stark_rings_tpu.native.host import HostGoldilocks
+
+        for logN, Bm, kw in (
+                (18, 2, dict(fuse_pointwise=True, fold_chunk=128)),
+                (20, 1, dict(fuse_pointwise=False, fold_chunk=128))):
+            name = f"Mxu2PallasNTT.mul[deg2^{logN},fused]"
+            if time.monotonic() > DEADLINE - 60:
+                record(name, [], None, note="skipped_budget")
+                continue
+            Nn = 1 << logN
+            tp = Mxu2PallasNTT(Nn, dma_folds=True, pointwise_pallas=True,
+                               **kw)
+            cc = jax.device_put(tp.consts())
+            hg = HostGoldilocks(Nn)
+            aa = _rand(rng, (Bm, Nn))
+            bb = _rand(rng, (Bm, Nn))
+            got = np.asarray(jax.jit(
+                lambda c_, x, y: tp.mul(x, y, c_))(
+                cc, jax.device_put(aa), jax.device_put(bb)))
+            record(name, [Bm, Nn], np.array_equal(got, hg.mul(aa, bb)),
+                   note="vs native C++ host oracle")
+    except (OSError, ImportError) as exc:
+        record("Mxu2PallasNTT.mul[bigdeg-host-oracle]", [], False,
+               note=f"oracle unavailable: {exc}")
+
     return checks
 
 
 def main():
     import jax
 
+    try:
+        from bench import setup_jax_cache
+
+        setup_jax_cache()
+    except Exception:
+        pass
+
     t0 = time.time()
-    checks = run_checks()
-    out = {
-        "device": str(jax.devices()[0]),
-        "n_checks": len(checks),
-        "n_ok": sum(c["ok"] for c in checks),
-        "all_ok": all(c["ok"] for c in checks),
-        "elapsed_s": round(time.time() - t0, 1),
-        "checks": checks,
-    }
-    dst = sys.argv[1] if len(sys.argv) > 1 else "TPUCHECK_r03.json"
-    with open(dst, "w") as fh:
-        json.dump(out, fh, indent=1)
+    dst = sys.argv[1] if len(sys.argv) > 1 else "TPUCHECK_r04.json"
+    checks = []
+
+    def summarize(partial):
+        return {
+            "device": str(jax.devices()[0]),
+            "n_checks": len(checks),
+            "n_ok": sum(1 for c in checks if c["ok"] is True),
+            "n_skipped": sum(1 for c in checks if c["ok"] is None),
+            # skipped checks (budget) do not fail the audit; mismatches do
+            "all_ok": all(c["ok"] is not False for c in checks),
+            "partial": partial,
+            "budget_s": BUDGET_S,
+            "elapsed_s": round(time.time() - t0, 1),
+            "checks": checks,
+        }
+
+    def flush(partial=True):
+        with open(dst, "w") as fh:
+            json.dump(summarize(partial), fh, indent=1)
+
+    def watchdog():
+        while True:
+            left = DEADLINE - time.monotonic()
+            if left <= 0:
+                break
+            time.sleep(min(left, 5.0))
+        flush(partial=True)
+        out = summarize(True)
+        print(json.dumps({"tpucheck": out["all_ok"], "n_ok": out["n_ok"],
+                          "n_checks": out["n_checks"], "artifact": dst,
+                          "budget_expired": True}))
+        sys.stdout.flush()
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    run_checks(flush=flush, checks=checks)
+    flush(partial=False)
+    out = summarize(False)
     print(json.dumps({"tpucheck": out["all_ok"], "n_ok": out["n_ok"],
                       "n_checks": out["n_checks"], "artifact": dst}))
 

@@ -86,6 +86,27 @@ class DenseMLE:
     def decode(self):
         return self.e.decode(self.evals)
 
+    # -- point indexing (dense.rs:397-418 degenerate semantics) ----------
+    def index(self, i: int):
+        """``Index<usize>`` (dense.rs:397-407): an out-of-bounds read —
+        which on the reference's lnze-truncated storage includes every
+        truncated trailing-zero position AND any index beyond 2^num_vars
+        — returns zero.  Storage here is always full 2^num_vars, so the
+        truncated positions are real zeros and only the beyond-elen case
+        needs the explicit zero element."""
+        if 0 <= i < self.evals.shape[0]:
+            return self.evals[i]
+        return self.e.zeros(())
+
+    def set_index(self, i: int, v):
+        """``IndexMut<usize>`` (dense.rs:409-418), functional: a new MLE
+        with evaluation ``i`` replaced.  The reference re-expands its
+        truncated storage to elen first — a no-op on full storage — and
+        panics for i >= elen, mirrored by the assert."""
+        assert 0 <= i < (1 << self.num_vars), "index beyond elen"
+        evals = jnp.asarray(self.evals)     # constructors may hold numpy
+        return DenseMLE(self.e, self.num_vars, evals.at[i].set(v))
+
     def fix_variables(self, points):
         """Bind the first len(points) variables (dense.rs:171-199).
 

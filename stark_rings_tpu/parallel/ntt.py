@@ -79,11 +79,12 @@ class ShardedNTT:
             assert field_name == "goldilocks", \
                 "mxu local transforms are goldilocks-only"
             self._mxu_mats = self._build_mxu_locals()
-        # exchange="pallas": the forward transform's twiddle + transpose
-        # run as ONE Pallas remote-copy kernel (parallel/pallas_exchange)
+        # exchange="pallas": each transform's twiddle + transpose run as
+        # ONE Pallas remote-copy kernel (parallel/pallas_exchange)
         # overlapping per-block twiddle compute with the ICI transfer —
-        # the SNIPPETS.md pattern, flag-gated prototype (forward only,
-        # goldilocks only; inverse keeps the XLA collective).
+        # the SNIPPETS.md pattern; both directions (forward AND inverse,
+        # so mul / mul_cached / square ride it end to end), goldilocks
+        # only (the fused twiddle is the u32-pair modmul).
         assert exchange in ("xla", "pallas")
         if exchange == "pallas":
             assert field_name == "goldilocks", \
@@ -301,11 +302,19 @@ class ShardedNTT:
             jnp.asarray(self.k1_leaf), row_ofs, R, axis=0)
         cols_all = jnp.arange(self.N2, dtype=jnp.int64)
         Ti = self._twiddle(k1_local, cols_all, omega_inv_pows)
-        y = f.mul(y, Ti)
-        # transpose back: [.., N1/P, N2] -> [.., N1, C]
-        nd_axis = y.ndim - 2 - nd
-        y = jax.lax.all_to_all(y, self.axis, split_axis=nd_axis + 1,
-                               concat_axis=nd_axis, tiled=True)
+        if self.exchange == "pallas" and not nd:
+            from .pallas_exchange import twiddle_exchange_inv
+
+            assert y.ndim in (2, 3), \
+                "pallas exchange handles [R1, N2] or [B, R1, N2]"
+            y = twiddle_exchange_inv(y, Ti, self.P, axis=self.axis,
+                                     interpret=self.exchange_interpret)
+        else:
+            y = f.mul(y, Ti)
+            # transpose back: [.., N1/P, N2] -> [.., N1, C]
+            nd_axis = y.ndim - 2 - nd
+            y = jax.lax.all_to_all(y, self.axis, split_axis=nd_axis + 1,
+                                   concat_axis=nd_axis, tiled=True)
         y = self._apply_on_axis(self._local_fns()[1], y, 2)
         if self.negacyclic:
             icolt, irowt = itw
@@ -327,18 +336,31 @@ class ShardedNTT:
                 P(*lead, self.axis, None, *tail))
 
     def make_fns(self, mesh: Mesh, batch_ndim: int = 0,
-                 overlap: bool = False):
+                 overlap: bool | None = None):
         """Returns (forward, inverse, mul) jitted over the mesh.
 
         forward: [..., N1, N2] col-sharded -> [..., N1, N2] row-sharded
         (leaf-order evaluations); mul keeps the coefficient layout.
-        ``overlap=True`` uses the batch-pipelined forward (requires a
-        leading batch axis, batch_ndim >= 1)."""
+        ``overlap``: True = batch-pipelined forward (requires a leading
+        batch axis, batch_ndim >= 1); None (default) = AUTO — pipeline
+        whenever the input has a leading batch axis with even size, fall
+        back to the plain forward otherwise.  The two are semantically
+        identical (test_sharded_forward_overlap_matches), so auto never
+        changes results."""
         self.consts()
         cspec, espec = self.shard_specs(batch_ndim)
+        nd = 1 if self.f.limbed else 0
         if overlap:
             assert batch_ndim >= 1, "overlap needs a batch axis"
             local_forward = self._local_forward_overlap
+        elif overlap is None and batch_ndim >= 1 \
+                and self.exchange != "pallas":
+            # auto: per-shape choice at trace time (shapes are static).
+            # the pallas exchange kernel is already overlapped internally
+            def local_forward(x):
+                if x.ndim >= 3 + nd and x.shape[0] % 2 == 0:
+                    return self._local_forward_overlap(x)
+                return self._local_forward(x)
         else:
             local_forward = self._local_forward
         # pallas_call outputs carry no vma annotation; disable the check

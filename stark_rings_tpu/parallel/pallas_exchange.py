@@ -8,12 +8,13 @@ while block (s-1) is already in flight on ICI — compute/communication
 overlap at the kernel level, the thing XLA's collective scheduler cannot
 express for this dataflow (the twiddle feeds the exchange elementwise).
 
-Forward-direction only, Goldilocks only (u32-pair modmul) — this is the
-flag-gated prototype asked for by BASELINE config 5's scaling target;
-`ShardedNTT(..., exchange="pallas")` routes through it.  Validated for
-bit-exactness against the XLA path on the CPU mesh via the distributed
-interpret mode (`pltpu.InterpretParams`); the overlap itself only
-materializes on real ICI.
+Both directions, Goldilocks only (the fused twiddle is the u32-pair
+modmul; fields whose modmul has no u32-pair kernel keep the XLA
+collective) — `ShardedNTT(..., exchange="pallas")` routes the forward,
+inverse and (through them) the cached-operand paths through it.
+Validated for bit-exactness against the XLA path on the CPU mesh via
+the distributed interpret mode (`pltpu.InterpretParams`); the overlap
+itself only materializes on real ICI.
 
 Dataflow per device (P devices, R1 = N1/P, C = N2/P, batch B):
 
@@ -41,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.pallas_goldilocks import _mul_q
 
-__all__ = ["twiddle_exchange_fwd"]
+__all__ = ["twiddle_exchange_fwd", "twiddle_exchange_inv"]
 
 _ANY = pl.BlockSpec(memory_space=pl.ANY)
 _VMEM = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -51,7 +52,12 @@ def _i32(x):
     return jnp.int32(x) if isinstance(x, int) else x
 
 
-def _make_kernel(P, B, N1, C, axis):
+def _make_kernel(P, B, N1, C, axis, forward=True):
+    """Twiddle-fused transpose-exchange kernel, either direction.
+
+    forward: x [B*N1, C] -> out [B*R1, N2] (split rows, concat cols)
+    inverse: y [B*R1, N2] -> out [B*N1, C] (split cols, concat rows)
+    Block shape is [R1, C] both ways; only the slice maps differ."""
     R1 = N1 // P
 
     def kern(xlo, xhi, twlo, twhi, olo, ohi,
@@ -66,24 +72,30 @@ def _make_kernel(P, B, N1, C, axis):
                                    device_id_type=pltpu.DeviceIdType.MESH)
         pltpu.semaphore_wait(bar, P)
 
-        def dst_cols():
-            return pl.ds(my * jnp.int32(C), C)
+        def out_slices(b, for_src):
+            """(rows, cols) of the block landing in the RECEIVER's output
+            when the sender's mesh index is ``for_src``."""
+            if forward:
+                return (pl.ds(_i32(b * R1), R1),
+                        pl.ds(for_src * jnp.int32(C), C))
+            return (pl.ds(_i32(b) * jnp.int32(N1) + for_src * jnp.int32(R1),
+                          R1), pl.ds(_i32(0), C))
 
         def send_descs(s, b, slot):
             """remote copies of vout[slot] -> device d's output block."""
             d = lax.rem(my + jnp.int32(s), jnp.int32(P))
-            rows = pl.ds(_i32(b * R1), R1)
+            rows, cols = out_slices(b, my)
             return (
                 pltpu.make_async_remote_copy(
                     src_ref=vout.at[slot, _i32(0)],
-                    dst_ref=olo.at[rows, dst_cols()],
+                    dst_ref=olo.at[rows, cols],
                     send_sem=send_sem.at[slot, _i32(0)],
                     recv_sem=recv_sem.at[_i32(s), _i32(0)],
                     device_id=(d,),
                     device_id_type=pltpu.DeviceIdType.MESH),
                 pltpu.make_async_remote_copy(
                     src_ref=vout.at[slot, _i32(1)],
-                    dst_ref=ohi.at[rows, dst_cols()],
+                    dst_ref=ohi.at[rows, cols],
                     send_sem=send_sem.at[slot, _i32(1)],
                     recv_sem=recv_sem.at[_i32(s), _i32(1)],
                     device_id=(d,),
@@ -92,11 +104,20 @@ def _make_kernel(P, B, N1, C, axis):
 
         def in_copies(s, b, slot):
             d = lax.rem(my + jnp.int32(s), jnp.int32(P))
-            rows = pl.ds(_i32(b) * jnp.int32(N1) + d * jnp.int32(R1), R1)
+            if forward:
+                src0 = xlo.at[pl.ds(_i32(b) * jnp.int32(N1)
+                                    + d * jnp.int32(R1), R1)]
+                src1 = xhi.at[pl.ds(_i32(b) * jnp.int32(N1)
+                                    + d * jnp.int32(R1), R1)]
+            else:
+                rows = pl.ds(_i32(b * R1), R1)
+                cols = pl.ds(d * jnp.int32(C), C)
+                src0 = xlo.at[rows, cols]
+                src1 = xhi.at[rows, cols]
             return (
-                pltpu.make_async_copy(xlo.at[rows], vin.at[slot, _i32(0)],
+                pltpu.make_async_copy(src0, vin.at[slot, _i32(0)],
                                       in_sem.at[slot, _i32(0)]),
-                pltpu.make_async_copy(xhi.at[rows], vin.at[slot, _i32(1)],
+                pltpu.make_async_copy(src1, vin.at[slot, _i32(1)],
                                       in_sem.at[slot, _i32(1)]),
             )
 
@@ -115,9 +136,14 @@ def _make_kernel(P, B, N1, C, axis):
                 for cp in send_descs(*steps[it - 2], slot):
                     cp.wait_send()
             d = lax.rem(my + jnp.int32(s), jnp.int32(P))
-            trow = pl.ds(d * jnp.int32(R1), R1)
+            if forward:
+                trow = pl.ds(d * jnp.int32(R1), R1)
+                tlo, thi = twlo[trow], twhi[trow]
+            else:
+                tcol = pl.ds(d * jnp.int32(C), C)
+                tlo, thi = twlo[:, tcol], twhi[:, tcol]
             plo, phi = _mul_q(vin[slot, _i32(0)], vin[slot, _i32(1)],
-                              twlo[trow], twhi[trow])
+                              tlo, thi)
             vout[slot, _i32(0)] = plo
             vout[slot, _i32(1)] = phi
             for cp in send_descs(s, b, slot):
@@ -127,13 +153,12 @@ def _make_kernel(P, B, N1, C, axis):
                 cp.wait_send()
 
         # wait for every incoming block: at step s the block arriving
-        # came from src = (my - s) % P, landing at cols src*C; the
-        # descriptor is reconstructed to consume recv_sem[s] bytes
+        # came from src = (my - s) % P; the descriptor is reconstructed
+        # to consume recv_sem[s] bytes
         for s in range(P):
             src = lax.rem(my - jnp.int32(s) + jnp.int32(P), jnp.int32(P))
-            cols = pl.ds(src * jnp.int32(C), C)
             for b in range(B):
-                rows = pl.ds(_i32(b * R1), R1)
+                rows, cols = out_slices(b, src)
                 pltpu.make_async_remote_copy(
                     src_ref=vout.at[_i32(0), _i32(0)],
                     dst_ref=olo.at[rows, cols],
@@ -195,3 +220,49 @@ def twiddle_exchange_fwd(x, tw, P, axis="x", interpret=False,
         jnp.stack([lo, hi], axis=-1), jnp.uint64)
     y = y.reshape(B, R1, N2)
     return y[0] if squeeze else y
+
+
+def twiddle_exchange_inv(y, tw, P, axis="x", interpret=False,
+                         collective_id=8):
+    """Fused (y * inverse-twiddle) + transpose-exchange, inverse
+    direction of the four-step transform.
+
+    y:  u64 [B, R1, N2] (or [R1, N2]) — this device's row shard after
+        the inverse row NTT (R1 = N1/P).
+    tw: u64 [R1, N2] — omega^(-k1_local * n2) for this device's rows.
+    Returns u64 [B, N1, C] (batch preserved), i.e. exactly
+    ``all_to_all(f.mul(y, tw), split cols, concat rows)``.
+
+    Must be called INSIDE shard_map over a 1-D mesh axis of size P.
+    """
+    squeeze = y.ndim == 2
+    if squeeze:
+        y = y[None]
+    B, R1, N2 = y.shape
+    N1 = R1 * P
+    C = N2 // P
+    yv = jax.lax.bitcast_convert_type(y.reshape(B * R1, N2), jnp.uint32)
+    tv = jax.lax.bitcast_convert_type(tw, jnp.uint32)
+    kern = _make_kernel(P, B, N1, C, axis, forward=False)
+    out_shape = (jax.ShapeDtypeStruct((B * N1, C), jnp.uint32),
+                 jax.ShapeDtypeStruct((B * N1, C), jnp.uint32))
+    pcall = pl.pallas_call(
+        kern,
+        in_specs=[_ANY, _ANY, _VMEM, _VMEM],
+        out_specs=(_ANY, _ANY),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, R1, C), jnp.uint32),   # vin slots (lo, hi)
+            pltpu.VMEM((2, 2, R1, C), jnp.uint32),   # vout slots
+            pltpu.SemaphoreType.DMA((2, 2)),          # in
+            pltpu.SemaphoreType.DMA((2, 2)),          # send
+            pltpu.SemaphoreType.DMA((P, 2)),          # recv (per step)
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
+    )
+    lo, hi = pcall(yv[..., 0], yv[..., 1], tv[..., 0], tv[..., 1])
+    out = jax.lax.bitcast_convert_type(
+        jnp.stack([lo, hi], axis=-1), jnp.uint64)
+    out = out.reshape(B, N1, C)
+    return out[0] if squeeze else out

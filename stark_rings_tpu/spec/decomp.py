@@ -96,3 +96,42 @@ def recompose_ints(digits: List[int], b: int) -> int:
     for d in reversed(digits):
         acc = acc * b + d
     return acc
+
+
+def decompose_balanced(v_signed: int, b: int,
+                       padding_size: int | None = None) -> List[int]:
+    """Decompose::decompose with the reference's padding contract
+    (mod.rs:21-28 + the doc at mod.rs:48-61): ``padding_size=None``
+    returns the element's natural (shortest) digit vector; an int pads
+    with zeros to exactly ``k`` (asserting the value fits)."""
+    if padding_size is not None:
+        return decompose_balanced_fixed(v_signed, b, padding_size)
+    # natural length: the reference loop runs until curr == 0 (always at
+    # least one digit — decompose_balanced_in_place emits digit 0 first)
+    assert b > 1 and b % 2 == 0, "basis must be even and > 1"
+    sign = -1 if v_signed < 0 else 1
+    curr = abs(v_signed)
+    out = []
+    while True:
+        m = curr % b
+        d = m if 2 * m <= b else m - b
+        curr = (curr - d) // b
+        out.append(sign * d)
+        if curr == 0:
+            break
+    return out
+
+
+def decompose_to_vec(vals_signed: List[int], b: int,
+                     padding_size: int | None = None) -> List[List[int]]:
+    """DecomposeToVec (mod.rs:119-161): per-element digit vectors.
+
+    ``padding_size=None`` pads every vector "to the largest decomposition
+    length required for v" (the documented None semantics); an int pads
+    each to exactly ``k``."""
+    nat = [decompose_balanced(v, b, None) for v in vals_signed]
+    k = padding_size if padding_size is not None else \
+        max((len(d) for d in nat), default=1)
+    for v, d in zip(vals_signed, nat):
+        assert len(d) <= k, f"padding {k} too small for {v}"
+    return [d + [0] * (k - len(d)) for d in nat]

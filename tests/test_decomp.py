@@ -228,3 +228,29 @@ def test_full_range_decompose_recompose_device():
         ok_bound, ok_rt = both(x)
         assert bool(ok_bound), f"digit bound violated, b={b}"
         assert bool(ok_rt), f"recompose != id, b={b}"
+
+
+def test_decompose_to_vec_padding_none():
+    """DecomposeToVec variable-length host API (mod.rs:119-161 doc):
+    None pads to the slice's largest natural length; digits match the
+    fixed-k kernel truncated of trailing zeros; recompose == id."""
+    from stark_rings_tpu.spec.decomp import (
+        decompose_balanced, decompose_to_vec)
+
+    rng = random.Random(13)
+    for b in (2, 16, 256):
+        vals = [0, 1, -1, b // 2, -(b // 2), b, 12345,
+                -(1 << 40)] + [rng.randrange(-(1 << 50), 1 << 50)
+                               for _ in range(30)]
+        vecs = decompose_to_vec(vals, b, None)
+        kmax = max(len(decompose_balanced(v, b, None)) for v in vals)
+        assert all(len(d) == kmax for d in vecs)
+        for v, d in zip(vals, vecs):
+            assert recompose_ints(d, b) == v
+            assert all(abs(x) <= b // 2 for x in d)
+            # natural vector == fixed-k vector with the tail zeros cut
+            fixed = decompose_balanced_fixed(v, b, kmax)
+            assert d == fixed
+        # explicit k pads further
+        vecs2 = decompose_to_vec(vals, b, kmax + 3)
+        assert all(len(d) == kmax + 3 for d in vecs2)

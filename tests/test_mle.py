@@ -308,3 +308,35 @@ def test_dense_from_evaluations_padded_truncates_long_input():
     mle = DenseMLE.from_evaluations_padded(e, nv, evals)
     assert mle.evals.shape[0] == 8
     assert [int(v) for v in f.decode(mle.evals)] == vals[:8]
+
+
+def test_dense_index_degenerate_semantics():
+    """Index/IndexMut parity (dense.rs:397-418): OOB reads (positions the
+    reference's truncation dropped, and indices beyond 2^num_vars) are
+    zero; set_index round-trips; beyond-elen writes raise."""
+    import pytest
+
+    from stark_rings_tpu.fields import get_field
+    from stark_rings_tpu.linalg import FieldElems, RingElems
+    from stark_rings_tpu.mle import DenseMLE
+    from stark_rings_tpu.rings import get_ring
+
+    f = get_field("goldilocks")
+    e = FieldElems(f)
+    m = DenseMLE.from_ints(e, 2, [7, 0, 5])      # padded with a zero
+    assert int(f.decode(m.index(0))) == 7
+    assert int(f.decode(m.index(3))) == 0        # truncated position
+    assert int(f.decode(m.index(100))) == 0      # beyond elen -> zero
+    m2 = m.set_index(3, e.encode(np.array(9, dtype=object)))
+    assert int(f.decode(m2.index(3))) == 9
+    assert int(f.decode(m.index(3))) == 0        # functional: original kept
+    with pytest.raises(AssertionError):
+        m.set_index(4, e.encode(np.array(1, dtype=object)))
+
+    ring = get_ring("frog")
+    er = RingElems(ring)
+    rm = DenseMLE.rand(er, 2, random.Random(3))
+    assert (np.asarray(er.decode(rm.index(8))) == 0).all()
+    v = er.one()
+    rm2 = rm.set_index(1, v)
+    assert (np.asarray(rm2.index(1)) == np.asarray(v)).all()

@@ -1,0 +1,103 @@
+"""Composed folding-step module (stark_rings_tpu.protocol) vs the same
+pipeline assembled stage-by-stage from the public batch-leading surface.
+
+The protocol layer composes reference components (challenge fold,
+icrt, gadget decompose mod.rs:163-175, Ajtai commit matrix.rs:148-188,
+norm/psi checks traits.rs:6-56 + monomial.rs:82-93) into one jit module;
+these tests pin each output to the independently-computed stage result."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stark_rings_tpu.decomp import gadget_decompose, l2_norm_squared
+from stark_rings_tpu.linalg import Matrix, RingElems
+from stark_rings_tpu.protocol import FoldingStep
+from stark_rings_tpu.rings import get_ring
+
+
+def _run_step(name, W=2, L=3, n=2, base=256, psi=False):
+    ring = get_ring(name)
+    f = ring.field
+    fs = FoldingStep(ring, n_rows=n, wit_len=L, base=base, psi_check=psi)
+    rng = random.Random(51)
+    c = jax.device_put(fs.init_tables(rng))
+    r = ring.rand_coeff((), rng)
+    rt = fs.precompute_challenge(r)
+    s0t = fs.rand_witness(W, rng)
+    s1t = fs.rand_witness(W, rng)
+    # commitments of the inputs (any [D, W, n] tensors fold linearly)
+    c0t = fs.tm.to_t(jnp.asarray(np.asarray(ring.rand_ntt((W, n), rng))))
+    c1t = fs.tm.to_t(jnp.asarray(np.asarray(ring.rand_ntt((W, n), rng))))
+    out = jax.jit(fs.step)(c, s0t, s1t, c0t, c1t, rt)
+    return ring, f, fs, (s0t, s1t, c0t, c1t, r), out
+
+
+@pytest.mark.parametrize("name", ["goldilocks", "babybear", "stark_prime"])
+def test_folding_step_stages_match_public_surface(name):
+    ring, f, fs, (s0t, s1t, c0t, c1t, r), out = _run_step(name)
+    tm = fs.tm
+    # stage 1: challenge fold == batch-leading ntt_mul with broadcast
+    s0 = np.asarray(tm.from_t(s0t))
+    s1 = np.asarray(tm.from_t(s1t))
+    r_ntt = np.asarray(ring.crt(jnp.asarray(r)[None]))[0]
+    want_s = np.asarray(ring.add(
+        jnp.asarray(s0),
+        ring.ntt_mul(jnp.asarray(s1), jnp.broadcast_to(
+            jnp.asarray(r_ntt), s1.shape))))
+    got_s = np.asarray(tm.from_t(out["s"]))
+    assert (got_s == want_s).all(), name
+    # folded commitment by the same linearity
+    c0 = np.asarray(tm.from_t(c0t))
+    c1 = np.asarray(tm.from_t(c1t))
+    want_c = np.asarray(ring.add(
+        jnp.asarray(c0),
+        ring.ntt_mul(jnp.asarray(c1), jnp.broadcast_to(
+            jnp.asarray(r_ntt), c1.shape))))
+    assert (np.asarray(tm.from_t(out["c"])) == want_c).all(), name
+
+    # stage 2+3: digits == gadget_decompose of the icrt'd fold
+    coeff = np.asarray(ring.icrt(jnp.asarray(want_s)))
+    want_d = np.asarray(gadget_decompose(f, jnp.asarray(coeff),
+                                         fs.base, fs.k))  # [W, M, D(,l)]
+    got_d = np.asarray(tm.from_t(out["digits"]))
+    assert (got_d == want_d).all(), name
+
+    # stage 4: the traced L2 bit == the host norm vs the same bound
+    for w in range(got_d.shape[0]):
+        host = l2_norm_squared(f, jnp.asarray(want_d[w]))
+        assert bool(out["ok_l2"][w]) == (host <= fs.l2_bound_sq), name
+
+    # stage 5+6: digit commitment == Matrix.mul_vec per witness
+    e = RingElems(ring)
+    Agt = np.asarray(fs.tm.from_t(jnp.asarray(
+        np.asarray(fs.init_tables(random.Random(51))["Agt"]))))
+    A = Matrix(e, jnp.asarray(Agt))
+    got_cd = np.asarray(tm.from_t(out["cd"]))
+    for w in range(got_cd.shape[0]):
+        dn = ring.crt(jnp.asarray(want_d[w]))
+        want_cd = np.asarray(A.mul_vec(dn))
+        assert (got_cd[w] == want_cd).all(), (name, w)
+
+
+def test_folding_step_psi_check_frog():
+    """psi range check inside the composed module (power-of-two
+    cyclotomic: completeness holds, monomial.rs:120-134): balanced
+    digits of base 4 are in (-2, 2) ... base/2 = 2 <= d' bound."""
+    ring, f, fs, _, out = _run_step("frog", base=4, psi=True)
+    assert bool(np.asarray(out["ok_psi"]).all())
+
+
+def test_folding_step_chains():
+    """Output shapes feed the next step (the dependent-chain protocol
+    shape benchmarks measure)."""
+    ring, f, fs, (s0t, s1t, c0t, c1t, r), out = _run_step("goldilocks")
+    rt = fs.precompute_challenge(ring.rand_coeff((), random.Random(5)))
+    c = jax.device_put(fs.init_tables(random.Random(51)))
+    out2 = jax.jit(fs.step)(c, out["s"], s1t, out["cd"], c1t, rt)
+    assert out2["s"].shape == out["s"].shape
+    assert out2["cd"].shape == out["cd"].shape

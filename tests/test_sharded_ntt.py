@@ -304,8 +304,51 @@ def test_pallas_exchange_matches_xla_collective():
     assert (np.asarray(fx(a)) == np.asarray(fp(a))).all()
     assert (np.asarray(mx(a, b)) == np.asarray(mp(a, b))).all()
 
+    # inverse direction through the fused kernel: roundtrip == id and
+    # inverse(fwd(x)) agrees with the XLA-collective inverse
+    _, ix, _ = sx.make_fns(mesh, batch_ndim=1, overlap=False)
+    _, ip, _ = sp.make_fns(mesh, batch_ndim=1, overlap=False)
+    ya = fx(a)
+    assert (np.asarray(ix(ya)) == np.asarray(ip(ya))).all()
+    assert (np.asarray(ip(fp(a))) == np.asarray(a)).all()
+
+    # cached-operand path end-to-end on the pallas exchange
+    prex, mcx, sqx = sx.make_cached_fns(mesh, batch_ndim=1)
+    prep, mcp, sqp = sp.make_cached_fns(mesh, batch_ndim=1)
+    vb = prex(b)
+    assert (np.asarray(vb) == np.asarray(prep(b))).all()
+    assert (np.asarray(mcx(a, vb)) == np.asarray(mcp(a, vb))).all()
+    assert (np.asarray(sqx(a)) == np.asarray(sqp(a))).all()
+
     # batchless ([N1, N2]) layout through the same flag
-    fx0, _, _ = sx.make_fns(mesh)
-    fp0, _, _ = sp.make_fns(mesh)
+    fx0, ix0, _ = sx.make_fns(mesh)
+    fp0, ip0, _ = sp.make_fns(mesh)
     c = sx.to_matrix(rng.integers(0, f.q, size=(N,), dtype=np.uint64))
     assert (np.asarray(fx0(c)) == np.asarray(fp0(c))).all()
+    assert (np.asarray(ip0(fp0(c))) == np.asarray(c)).all()
+
+
+def test_make_fns_auto_overlap_default():
+    """overlap=None (the new default) pipelines even batches and falls
+    back for odd ones — bit-identical to the explicit variants."""
+    import jax
+    import numpy as np
+    from stark_rings_tpu.fields import get_field
+    from stark_rings_tpu.parallel import ShardedNTT, make_mesh
+
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        import pytest
+        pytest.skip("not enough devices")
+    f = get_field("goldilocks")
+    N = 1 << 12
+    rng = np.random.default_rng(13)
+    mesh = make_mesh(Pn)
+    sn = ShardedNTT("goldilocks", N, Pn)
+    fwd_auto, inv_auto, mul_auto = sn.make_fns(mesh, batch_ndim=1)
+    fwd_plain, _, _ = sn.make_fns(mesh, batch_ndim=1, overlap=False)
+    for B in (2, 3):
+        a = sn.to_matrix(rng.integers(0, f.q, size=(B, N),
+                                      dtype=np.uint64))
+        assert (np.asarray(fwd_auto(a)) == np.asarray(fwd_plain(a))).all()
+        assert (np.asarray(inv_auto(fwd_auto(a))) == np.asarray(a)).all()
