@@ -67,7 +67,7 @@ def _timeit(fn, args, iters=5):
     return best
 
 
-def main(N=1 << 20, counts=(1, 2, 4, 8), batch=1):
+def main(N=1 << 20, counts=(1, 2, 4, 8), batch=2):
     _ensure_mesh_platform(max(counts))
     import jax
 
@@ -78,6 +78,7 @@ def main(N=1 << 20, counts=(1, 2, 4, 8), batch=1):
     f = get_field("goldilocks")
     rng = np.random.default_rng(0)
     base = None
+    records = []
     for Pn in counts:
         if len(jax.devices()) < Pn:
             continue
@@ -90,8 +91,15 @@ def main(N=1 << 20, counts=(1, 2, 4, 8), batch=1):
         b = sn.to_matrix(rng.integers(0, f.q, size=(batch, N),
                                       dtype=np.uint64))
 
+        # overlap variant (batch-pipelined forward, the make_fns default
+        # for even batches): same math, exchange hidden behind chunk i+1's
+        # column stage on real ICI
+        fwd_ov, _, mul_ov = sn.make_fns(mesh, batch_ndim=1, overlap=True)
+
         t_mul = _timeit(mul, (a, b))
         t_fwd = _timeit(phases["forward"], (a,))
+        t_fwd_ov = _timeit(fwd_ov, (a,))
+        t_mul_ov = _timeit(mul_ov, (a, b))
         t_pre = _timeit(phases["pre"], (a,))
         pre_out = phases["pre"](a)
         t_exch = _timeit(phases["exchange"], (pre_out,))
@@ -102,7 +110,7 @@ def main(N=1 << 20, counts=(1, 2, 4, 8), batch=1):
         if base is None:
             base = rate
         eff = rate / (base * Pn / counts[0])
-        print(json.dumps({
+        rec = {
             "devices": Pn, "deg": N,
             "ring_mults_per_sec": round(rate, 3),
             "scaling_efficiency": round(eff, 4),
@@ -111,12 +119,20 @@ def main(N=1 << 20, counts=(1, 2, 4, 8), batch=1):
                 "all_to_all": round(t_exch * 1e3, 2),
                 "row_stage": round(t_rows * 1e3, 2),
                 "forward_fused": round(t_fwd * 1e3, 2),
+                "forward_overlap": round(t_fwd_ov * 1e3, 2),
                 "full_mul": round(t_mul * 1e3, 2),
+                "full_mul_overlap": round(t_mul_ov * 1e3, 2),
             },
             "exchange_frac_of_forward": round(t_exch / t_fwd, 4),
             "note": "CPU virtual mesh shares host cores; see PERF_NOTES "
                     "Multi-chip for the real-ICI analytic model",
-        }))
+        }
+        records.append(rec)
+        print(json.dumps(rec))
+        import pathlib
+
+        art = pathlib.Path(__file__).parent / "SCALING_r04.json"
+        art.write_text("\n".join(json.dumps(r) for r in records) + "\n")
 
 
 if __name__ == "__main__":

@@ -31,7 +31,8 @@ from stark_rings_tpu.decomp import (  # noqa: E402
     gadget_decompose,
     gadget_recompose,
 )
-from stark_rings_tpu.decomp.norms import linf_norm_exact  # noqa: E402
+from stark_rings_tpu.decomp.norms import (  # noqa: E402
+    l2_check, l2_norm_squared, linf_norm_exact)
 from stark_rings_tpu.linalg import Matrix, RingElems  # noqa: E402
 from stark_rings_tpu.rings import get_ring  # noqa: E402
 from stark_rings_tpu.rings.sampling import (  # noqa: E402
@@ -58,6 +59,12 @@ def main():
     msg = np.asarray(ring.rand_coeff((m,), rng))
     s_short = gadget_decompose(f, msg, b, k)          # [m*k, D]
     assert linf_norm_exact(f, s_short) <= b // 2
+    # traced exact L2 norm check ON DEVICE (no host object-array round
+    # trip): the gadget guarantees ||s||_2^2 <= m*k*D*(b/2)^2
+    beta_sq = m * k * ring.D * (b // 2) ** 2
+    ok = jax.jit(lambda x: l2_check(f, x, beta_sq))(s_short)
+    assert bool(ok), "traced L2 bound check failed"
+    assert l2_norm_squared(f, s_short) <= beta_sq     # host cross-check
     back = gadget_recompose(f, s_short, b, k)
     assert (np.asarray(back) == msg).all()
 
@@ -90,6 +97,11 @@ def main():
     s_folded_coeff = ring.icrt(s_folded)
     norm = linf_norm_exact(f, s_folded_coeff)
     print(f"folded witness linf norm: {norm} (q ~ 2^{f.q.bit_length()})")
+    # folding grows the norm by at most ||ch||_1 * D in the worst case;
+    # check the traced L2 against that bound, on device
+    fold_beta_sq = beta_sq * (2 * 2 + 1) ** 2 * ring.D ** 2
+    okf = jax.jit(lambda x: l2_check(f, x, fold_beta_sq))(s_folded_coeff)
+    print(f"traced L2 bound check after folding: {bool(okf)}")
     print("demo ok")
 
 

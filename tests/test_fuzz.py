@@ -12,6 +12,7 @@ from stark_rings_tpu.rings import get_ring
 from stark_rings_tpu.spec import MODELS
 
 BATCH = 16
+BATCH_LIMBED = 4   # 8-limb CIOS on CPU is ~100x a u64 mul
 
 
 def _rand_batch(spec, rng, n):
@@ -27,8 +28,9 @@ def test_fuzz_crt_roundtrip_and_mul(name):
     ring = get_ring(name)
     spec = ring.spec
     rng = random.Random(hash(name) & 0xFFFF)
-    a_i = _rand_batch(spec, rng, BATCH)
-    b_i = _rand_batch(spec, rng, BATCH)
+    nbatch = BATCH_LIMBED if ring.field.limbed else BATCH
+    a_i = _rand_batch(spec, rng, nbatch)
+    b_i = _rand_batch(spec, rng, nbatch)
     a = ring.encode_coeffs(a_i)
     b = ring.encode_coeffs(b_i)
 
@@ -41,7 +43,7 @@ def test_fuzz_crt_roundtrip_and_mul(name):
     prod, back = pipeline(a, b)
     got_prod = ring.decode(prod)
     got_back = ring.decode(back)
-    for i in range(BATCH):
+    for i in range(nbatch):
         ai = [int(v) for v in a_i[i]]
         bi = [int(v) for v in b_i[i]]
         assert [int(v) for v in got_back[i]] == ai, (name, "roundtrip", i)

@@ -51,7 +51,8 @@ def test_primitive_roots():
 
 @pytest.mark.parametrize("name,N", [
     ("goldilocks", 64), ("goldilocks", 256),
-    ("babybear", 64), ("stark_prime", 16), ("stark_prime", 256),
+    ("babybear", 64), ("stark_prime", 16),
+    pytest.param("stark_prime", 256, marks=pytest.mark.slow),
 ])
 def test_negacyclic_roundtrip_and_mul(name, N):
     f = get_field(name)

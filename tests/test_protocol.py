@@ -20,9 +20,12 @@ from stark_rings_tpu.protocol import FoldingStep
 from stark_rings_tpu.rings import get_ring
 
 
-def _run_step(name, W=2, L=3, n=2, base=256, psi=False):
+def _run_step(name, W=2, L=3, n=2, base=None, psi=False):
     ring = get_ring(name)
     f = ring.field
+    if base is None:
+        # 2^16 digits halve k for the 252-bit field (CPU test cost)
+        base = 65536 if f.limbed else 256
     fs = FoldingStep(ring, n_rows=n, wit_len=L, base=base, psi_check=psi)
     rng = random.Random(51)
     c = jax.device_put(fs.init_tables(rng))

@@ -118,7 +118,7 @@ def test_sharded_sumcheck_matches_single(name):
     if len(jax.devices()) < Pn:
         pytest.skip("not enough devices")
     f = get_field(name)
-    nv = 8
+    nv = 6 if f.limbed else 8   # limbed CPU-mesh rounds are ~100x slower
     mesh = make_mesh(Pn)
     sm = ShardedMLE(f, nv, mesh)
     rng = random.Random(7)

@@ -11,7 +11,8 @@ from stark_rings_tpu.parallel import ShardedModelMul, make_mesh
 from stark_rings_tpu.ops.model_mul import TModelMul
 
 
-@pytest.mark.parametrize("name", ["goldilocks", "stark_prime"])
+@pytest.mark.parametrize("name", ["goldilocks", pytest.param(
+    "stark_prime", marks=pytest.mark.slow)])  # limbed: minutes on CPU
 def test_sharded_model_mul_matches_local(name):
     Pn = 8
     if len(jax.devices()) < Pn:

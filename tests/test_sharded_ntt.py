@@ -199,6 +199,7 @@ def test_sharded_forward_overlap_matches():
             == np.asarray(jax.device_get(mul(a, b)))).all()
 
 
+@pytest.mark.slow
 def test_sharded_stark_prime_limbed():
     """The four-step sharded NTT is limb-aware: 252-bit stark-prime
     deg-2^12 multiply over an 8-device mesh equals the single-device
@@ -213,7 +214,8 @@ def test_sharded_stark_prime_limbed():
     from stark_rings_tpu.parallel import ShardedNTT, make_mesh
 
     f = get_field("stark_prime")
-    N = 1 << 12
+    N = 1 << 8     # small: limbed CPU-mesh ops are ~100x a u64 field's;
+    #                the limb-layout logic is size-independent
     sn = ShardedNTT("stark_prime", N, 8)
     mesh = make_mesh(8)
     _, _, mul = sn.make_fns(mesh, batch_ndim=1)
@@ -291,7 +293,8 @@ def test_pallas_exchange_matches_xla_collective():
         import pytest
         pytest.skip("not enough devices")
     f = get_field("goldilocks")
-    N, B = 1 << 12, 2
+    N, B = 1 << 10, 2    # interpret-mode remote-DMA is python-loop slow;
+    #                      the slice/semaphore logic is size-independent
     rng = np.random.default_rng(12)
     mesh = make_mesh(Pn)
     sx = ShardedNTT("goldilocks", N, Pn)
