@@ -265,7 +265,10 @@ def main():
         return jax.jit(fn), (evals, P)
 
     try:
-        rate, _ = chain_rate(build_mle_many, W, lo=2, hi=130, reps=3)
+        # hi=130 built a module the remote compiler killed (depth-130
+        # chain of two-contraction evals — the r03 null); each many-eval
+        # is ~0.7 ms so hi-lo=32 still gives a ~22 ms differenced signal
+        rate, _ = chain_rate(build_mle_many, W, lo=2, hi=34, reps=3)
         out[f"mle20_evaluate_many_W{W}_points_per_s"] = round(rate, 2)
     except Exception as exc:  # noqa
         print(f"mle many bench failed: {exc}", file=sys.stderr)

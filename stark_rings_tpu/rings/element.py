@@ -191,6 +191,22 @@ class Rq:
         assert self.form == "coeff"
         return linf_norm(self.ring.field, self.data)
 
+    def l2_norm_squared_words(self):
+        """Traced exact ||.||_2^2 over ALL coefficients (WithL2Norm,
+        traits.rs:6-56) as little-endian base-2^32 words; decode with
+        decomp.words_to_int."""
+        from ..decomp import l2_norm_squared_words
+
+        assert self.form == "coeff"
+        return l2_norm_squared_words(self.ring.field, self.data)
+
+    def l2_check(self, bound_sq: int):
+        """Traced ||.||_2^2 <= bound_sq (no host round trip)."""
+        from ..decomp import l2_check
+
+        assert self.form == "coeff"
+        return l2_check(self.ring.field, self.data, bound_sq)
+
     # -- misc ---------------------------------------------------------------
     @property
     def shape(self):

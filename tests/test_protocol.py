@@ -104,3 +104,30 @@ def test_folding_step_chains():
     out2 = jax.jit(fs.step)(c, out["s"], s1t, out["cd"], c1t, rt)
     assert out2["s"].shape == out["s"].shape
     assert out2["cd"].shape == out["cd"].shape
+
+
+def test_folding_step_sharded_matches_local():
+    """make_sharded_step_fn (witness-sharded, zero collectives) produces
+    bit-identical outputs to the local composed step on an 8-dev mesh."""
+    from stark_rings_tpu.parallel import make_mesh
+
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    ring = get_ring("goldilocks")
+    fs = FoldingStep(ring, n_rows=2, wit_len=2, base=256)
+    rng = random.Random(61)
+    c = jax.device_put(fs.init_tables(rng))
+    rt = np.asarray(fs.precompute_challenge(ring.rand_coeff((), rng)))
+    W = Pn
+    s0 = np.asarray(fs.rand_witness(W, rng))
+    s1 = np.asarray(fs.rand_witness(W, rng))
+    c0 = np.asarray(fs.tm.to_t(jnp.asarray(
+        np.asarray(ring.rand_ntt((W, 2), rng)))))
+    c1 = np.asarray(fs.tm.to_t(jnp.asarray(
+        np.asarray(ring.rand_ntt((W, 2), rng)))))
+    o_sh = fs.make_sharded_step_fn(make_mesh(Pn))(c, s0, s1, c0, c1, rt)
+    o_lc = jax.jit(fs.step)(c, s0, s1, c0, c1, rt)
+    for key in ("s", "c", "digits", "cd", "ok_l2"):
+        assert np.array_equal(np.asarray(o_sh[key]),
+                              np.asarray(o_lc[key])), key

@@ -79,3 +79,19 @@ def test_rq_from_ints_reduces_long_input():
     got = Rq.from_ints(R, long)
     want = R.spec.reduce([1] * (2 * R.D - 1))
     assert [int(v) for v in got.decode()] == [int(v) for v in want]
+
+
+def test_rq_l2_norm_surface():
+    """Rq.l2_norm_squared_words / l2_check == the host exact norm."""
+    import jax
+
+    from stark_rings_tpu.decomp import l2_norm_squared, words_to_int
+    from stark_rings_tpu.rings import get_ring
+    from stark_rings_tpu.rings.element import Rq
+
+    ring = get_ring("goldilocks")
+    x = Rq.rand(ring, (3,), random.Random(21))
+    want = l2_norm_squared(ring.field, x.data)
+    assert words_to_int(x.l2_norm_squared_words()) == want
+    assert bool(x.l2_check(want))
+    assert not bool(x.l2_check(want - 1))
