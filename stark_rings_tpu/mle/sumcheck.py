@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["sumcheck_round", "sumcheck_fold", "sumcheck_prove_with_challenges"]
+__all__ = ["sumcheck_round", "sumcheck_fold",
+           "sumcheck_prove_with_challenges", "sumcheck_round_many",
+           "sumcheck_fold_many", "sumcheck_prove_many_with_challenges"]
 
 
 def sumcheck_round(f, G, H):
@@ -55,3 +57,52 @@ def sumcheck_prove_with_challenges(f, G, H, challenges):
         G, H = sumcheck_fold(f, r, G0, H0, dG, dH)
         msgs.append(jnp.stack([p0, p1, p2]))
     return jnp.stack(msgs), G[0], H[0]
+
+
+# -- k-ary products (HyperPlonk shape) ------------------------------------
+# The reference's random_mle_list(nv, degree) exists "for testing
+# sumcheck" over PRODUCTS OF k MLEs (multilinear_polynomial.rs:19-55);
+# these are the degree-k rounds such a claim needs: each round message is
+# p(0..k), evaluated by stepping every table's odd half by its delta —
+# k-1 extra adds and one extra product per evaluation point, all batched.
+
+
+def sumcheck_round_many(f, tables):
+    """One round for S = sum_x prod_i T_i(x): degree-k message + fold
+    ingredients.  Returns (msgs [k+1, ...], t0s, deltas)."""
+    halves = [(T[0::2], T[1::2]) for T in tables]
+    deltas = [f.sub(t1, t0) for t0, t1 in halves]
+
+    def prod_sum(vals):
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = f.mul(acc, v)
+        return f.sum(acc, axis=0)
+
+    msgs = [prod_sum([t0 for t0, _ in halves]),
+            prod_sum([t1 for _, t1 in halves])]
+    cur = [t1 for _, t1 in halves]
+    for _ in range(2, len(tables) + 1):
+        cur = [f.add(c, d) for c, d in zip(cur, deltas)]
+        msgs.append(prod_sum(cur))
+    return msgs, [t0 for t0, _ in halves], deltas
+
+
+def sumcheck_fold_many(f, r, t0s, deltas):
+    r = jnp.asarray(r)
+    return [f.add(t0, f.mul(r, d)) for t0, d in zip(t0s, deltas)]
+
+
+def sumcheck_prove_many_with_challenges(f, tables, challenges):
+    """k-ary product prover for known challenges, one traceable graph.
+
+    Returns (msgs [nv, k+1], finals [k]) — per-round degree-k messages
+    (p evaluated at 0..k) and each table's fully-bound value; the
+    verifier interpolates p from k+1 points and checks
+    p(0) + p(1) == previous claim, finishing with prod(finals)."""
+    msgs = []
+    for r in challenges:
+        round_msgs, t0s, deltas = sumcheck_round_many(f, tables)
+        tables = sumcheck_fold_many(f, r, t0s, deltas)
+        msgs.append(jnp.stack(round_msgs))
+    return jnp.stack(msgs), [T[0] for T in tables]

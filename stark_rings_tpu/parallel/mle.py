@@ -183,3 +183,58 @@ class ShardedMLE:
         return jax.jit(jax.shard_map(
             local, mesh=self.mesh, in_specs=in_specs,
             out_specs=(P(), P(), P()), check_vma=False))
+
+    def make_sumcheck_many_fn(self, k: int):
+        """Multi-chip k-ary product sumcheck (degree-k rounds).
+
+        Same sharding/collective plan as :meth:`make_sumcheck_fn` — one
+        exact widened psum per message evaluation point in the low
+        rounds, replicated tail — generalized to S = sum_x prod_i T_i(x)
+        (the HyperPlonk random_mle_list shape).  Output equals
+        mle/sumcheck.sumcheck_prove_many_with_challenges unsharded."""
+        sp = self.spec()
+        f = self.f
+        nv, logP, axis = self.nv, self.logP, self.axis
+
+        def exact_sum(x):
+            w = f.widen(x)
+            words = jnp.sum(w.reshape(-1, w.shape[-1]), axis=0)
+            return f.reduce_words(psum_words(words, axis))
+
+        def prod_of(vals):
+            acc = vals[0]
+            for v in vals[1:]:
+                acc = f.mul(acc, v)
+            return acc
+
+        def local(*args):
+            from ..mle.sumcheck import (sumcheck_fold_many,
+                                        sumcheck_round_many)
+
+            tables = list(args[:k])
+            challenges = args[k:]
+            msgs = []
+            for i in range(nv - logP):
+                halves = [(T[0::2], T[1::2]) for T in tables]
+                deltas = [f.sub(t1, t0) for t0, t1 in halves]
+                round_msgs = [exact_sum(prod_of([t0 for t0, _ in halves])),
+                              exact_sum(prod_of([t1 for _, t1 in halves]))]
+                cur = [t1 for _, t1 in halves]
+                for _ in range(2, k + 1):
+                    cur = [f.add(c, d) for c, d in zip(cur, deltas)]
+                    round_msgs.append(exact_sum(prod_of(cur)))
+                msgs.append(jnp.stack(round_msgs))
+                tables = sumcheck_fold_many(
+                    f, challenges[i], [t0 for t0, _ in halves], deltas)
+            tables = [jax.lax.all_gather(T, axis, axis=0, tiled=True)
+                      for T in tables]
+            for i in range(nv - logP, nv):
+                round_msgs, t0s, deltas = sumcheck_round_many(f, tables)
+                msgs.append(jnp.stack(round_msgs))
+                tables = sumcheck_fold_many(f, challenges[i], t0s, deltas)
+            return jnp.stack(msgs), [T[0] for T in tables]
+
+        in_specs = (sp,) * k + (P(),) * nv
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=in_specs,
+            out_specs=(P(), [P()] * k), check_vma=False))

@@ -108,7 +108,8 @@ def test_sharded_matvec_field_scalars():
     assert (np.asarray(got) == np.asarray(want)).all()
 
 
-@pytest.mark.parametrize("name", ["goldilocks", "stark_prime"])
+@pytest.mark.parametrize("name", ["goldilocks", pytest.param(
+    "stark_prime", marks=pytest.mark.slow)])  # limbed rounds: minutes
 def test_sharded_sumcheck_matches_single(name):
     """Multi-chip sumcheck prover == the single-device prover: same
     messages and final bound values for the same challenges."""
@@ -195,3 +196,34 @@ def test_sharded_sparse_matvec_limbed_and_skewed():
         assert False, "expected AlgebraError"
     except AlgebraError:
         pass
+
+
+def test_sharded_kary_sumcheck_matches_single():
+    """make_sumcheck_many_fn == the single-device k-ary prover for the
+    same tables/challenges (k = 3, degree-3 rounds) on the 8-dev mesh."""
+    from stark_rings_tpu.mle.sumcheck import (
+        sumcheck_prove_many_with_challenges)
+
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    f = get_field("goldilocks")
+    nv, k = 7, 3
+    mesh = make_mesh(Pn)
+    sm = ShardedMLE(f, nv, mesh)
+    rng = random.Random(17)
+    tables = [np.asarray(f.encode(np.array(
+        [rng.randrange(f.q) for _ in range(1 << nv)], dtype=object)))
+        for _ in range(k)]
+    chals = [np.asarray(f.encode(np.array(rng.randrange(f.q),
+                                          dtype=object)))
+             for _ in range(nv)]
+    msgs_sh, finals_sh = sm.make_sumcheck_many_fn(k)(*tables, *chals)
+    import jax.numpy as jnp
+
+    msgs_1, finals_1 = jax.jit(
+        lambda ts, cs: sumcheck_prove_many_with_challenges(f, ts, cs)
+    )([jnp.asarray(t) for t in tables], chals)
+    assert np.array_equal(np.asarray(msgs_sh), np.asarray(msgs_1))
+    for a, b in zip(finals_sh, finals_1):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -293,7 +293,7 @@ def test_pallas_exchange_matches_xla_collective():
         import pytest
         pytest.skip("not enough devices")
     f = get_field("goldilocks")
-    N, B = 1 << 10, 2    # interpret-mode remote-DMA is python-loop slow;
+    N, B = 1 << 8, 2     # interpret-mode remote-DMA is python-loop slow;
     #                      the slice/semaphore logic is size-independent
     rng = np.random.default_rng(12)
     mesh = make_mesh(Pn)

@@ -84,3 +84,81 @@ def test_sumcheck_verifier_rejects_perturbed_message():
             bad = msgs.copy()
             bad[i, j] = (int(bad[i, j]) + 1) % F.q
             assert not verify(bad), (i, j)
+
+
+def test_sumcheck_kary_product_soundness_and_completeness():
+    """Degree-k product sumcheck (sumcheck_prove_many_with_challenges):
+    for k = 2, 3, 4 the messages satisfy the verifier recurrence
+    p(0) + p(1) == running claim (with p interpolated from its k+1
+    points at the challenge), and the final claim equals the product of
+    the individual MLE evaluations at the challenge point.  k = 2 also
+    cross-checks the dedicated 2-ary prover."""
+    import jax
+
+    from stark_rings_tpu.fields import get_field
+    from stark_rings_tpu.linalg import FieldElems
+    from stark_rings_tpu.mle import DenseMLE
+    from stark_rings_tpu.mle.sumcheck import (
+        sumcheck_prove_many_with_challenges, sumcheck_prove_with_challenges)
+
+    f = get_field("goldilocks")
+    fe = FieldElems(f)
+    nv = 5
+    rng = random.Random(71)
+    q = f.q
+
+    def lagrange_eval(points_y, x):
+        """Interpolate p from p(0..k) (ints) and evaluate at x, mod q."""
+        k = len(points_y) - 1
+        acc = 0
+        for i in range(k + 1):
+            num, den = 1, 1
+            for j in range(k + 1):
+                if i == j:
+                    continue
+                num = num * ((x - j) % q) % q
+                den = den * ((i - j) % q) % q
+            acc = (acc + points_y[i] * num * pow(den, q - 2, q)) % q
+        return acc
+
+    for k in (2, 3, 4):
+        tables = [np.asarray(f.encode(np.array(
+            [rng.randrange(q) for _ in range(1 << nv)], dtype=object)))
+            for _ in range(k)]
+        chals = [np.asarray(f.encode(np.array(rng.randrange(q),
+                                              dtype=object)))
+                 for _ in range(nv)]
+        msgs, finals = jax.jit(
+            lambda ts, cs: sumcheck_prove_many_with_challenges(f, ts, cs)
+        )(tables, chals)
+        msgs_i = [[int(v) for v in f.decode(m)] for m in msgs]
+        chal_i = [int(f.decode(c)) for c in chals]
+
+        # claim recurrence (exact python-int products — np.prod wraps)
+        def prod_mod(ints):
+            acc = 1
+            for v in ints:
+                acc = acc * v % q
+            return acc
+
+        claim = sum(prod_mod(int(f.decode(jnp.asarray(T[x])))
+                             for T in tables)
+                    for x in range(1 << nv)) % q
+        for rd in range(nv):
+            assert (msgs_i[rd][0] + msgs_i[rd][1]) % q == claim, (k, rd)
+            claim = lagrange_eval(msgs_i[rd], chal_i[rd])
+        # final check: claim == prod of MLE evals at the challenge point
+        evs = []
+        for T in tables:
+            m = DenseMLE(fe, nv, jnp.asarray(T))
+            evs.append(int(f.decode(m.evaluate(
+                [jnp.asarray(c) for c in chals]))))
+        want = prod_mod(evs)
+        assert claim == want, k
+        assert want == prod_mod(int(f.decode(v)) for v in finals), k
+
+        if k == 2:
+            m2, gv, hv = jax.jit(
+                lambda G, H, cs: sumcheck_prove_with_challenges(
+                    f, G, H, cs))(tables[0], tables[1], chals)
+            assert (np.asarray(m2) == np.asarray(msgs)).all()
