@@ -48,7 +48,11 @@ BUDGET_S = float(os.environ.get("SRT_BENCH_BUDGET_S", "900"))
 T0 = time.monotonic()
 DEADLINE = T0 + BUDGET_S
 
-_LOCK = threading.Lock()
+# RLock: a SIGTERM handler runs ON the main thread and may interrupt a
+# put()/mark() that already holds the lock — a plain Lock would deadlock
+# exactly where the one-JSON-line contract matters most.
+_LOCK = threading.RLock()
+_EMIT_ONCE = threading.Lock()   # acquire(blocking=False) = atomic once
 _EMITTED = threading.Event()
 
 RESULT = {
@@ -79,8 +83,8 @@ def emit(rc=0):
     os._exit (not sys.exit): the main thread may be blocked inside a
     remote compile; this must terminate the process from the watchdog
     thread regardless."""
-    if _EMITTED.is_set():
-        return
+    if not _EMIT_ONCE.acquire(blocking=False):
+        return   # another thread (watchdog vs signal) already emitting
     _EMITTED.set()
     with _LOCK:
         RESULT["elapsed_s"] = round(time.monotonic() - T0, 1)
@@ -246,6 +250,14 @@ class Headline:
         self.c = jax.device_put(self.tp.consts())
         self.jax = jax
 
+    def operand(self, nb):
+        """ONE operand tensor (chain steps that reuse a cached second
+        operand should not generate and ship an unused ~40 MB tensor
+        per build call)."""
+        return self.jax.device_put(
+            self.rng.integers(0, self.f.q, size=(nb, self.N),
+                              dtype=np.uint64))
+
     def operands(self, nb, depth=0):
         jax, f, N = self.jax, self.f, self.N
         aa = jax.device_put(
@@ -344,7 +356,7 @@ def sec_fixed_operand(st):
         pass
 
     def build(depth):
-        a, _ = st.operands(B)
+        a = st.operand(B)
 
         def fn(cc, x, v):
             for _ in range(depth):
@@ -379,7 +391,7 @@ def sec_challenge(st):
         pass
 
     def build(depth):
-        a, _ = st.operands(B)
+        a = st.operand(B)
 
         def fn(cc, x, v):
             for _ in range(depth):
@@ -411,7 +423,7 @@ def sec_square(st):
         pass
 
     def build(depth):
-        a, _ = st.operands(B)
+        a = st.operand(B)
 
         def fn(cc, x):
             for _ in range(depth):

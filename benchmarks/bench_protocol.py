@@ -47,9 +47,20 @@ def main():
     from stark_rings_tpu.rings.monomial import psi_range_check_batched
 
     out = {"device": str(jax.devices()[0]), "budget_s": BUDGET_S}
+    # the watchdog thread serializes `out` while the main thread inserts
+    # keys; json.dumps iterating a dict that grows raises RuntimeError
+    # and would kill the deadline enforcement — all writes AND dumps
+    # hold this lock
+    out_lock = threading.Lock()
+
+    def setk(key, val):
+        with out_lock:
+            out[key] = val
 
     def flush():
-        ARTIFACT.write_text(json.dumps(out) + "\n")
+        with out_lock:
+            line = json.dumps(out)
+        ARTIFACT.write_text(line + "\n")
 
     def watchdog():
         while True:
@@ -57,9 +68,11 @@ def main():
             if left <= 0:
                 break
             time.sleep(min(left, 5.0))
-        out["budget_expired"] = True
-        flush()
-        print(json.dumps(out))
+        setk("budget_expired", True)
+        with out_lock:
+            line = json.dumps(out)
+        ARTIFACT.write_text(line + "\n")
+        print(line)
         sys.stdout.flush()
         os._exit(0)
 
@@ -112,11 +125,11 @@ def main():
         assert got.tolist() == want.tolist(), "commit paths disagree"
         rate, _ = chain_rate(build_commit, W, lo=2, hi=34, reps=3,
                              cap=200_000)
-        out["ajtai_commit_n8_L1024_per_s"] = round(rate, 2)
-        out["ajtai_commit_layout"] = "matvec_t_lazy"
+        setk("ajtai_commit_n8_L1024_per_s", round(rate, 2))
+        setk("ajtai_commit_layout", "matvec_t_lazy")
     except Exception as exc:  # noqa
         print(f"commit bench failed: {exc}", file=sys.stderr)
-        out["ajtai_commit_n8_L1024_per_s"] = None
+        setk("ajtai_commit_n8_L1024_per_s", None)
     flush()
 
     # ---- gadget decomposition throughput (coeff-form witnesses) --------
@@ -136,10 +149,10 @@ def main():
 
     try:
         rate, _ = chain_rate(build_decomp, B, lo=1, hi=9, reps=3)
-        out["gadget_decompose_elems_per_s"] = round(rate, 1)
+        setk("gadget_decompose_elems_per_s", round(rate, 1))
     except Exception as exc:  # noqa
         print(f"decomp bench failed: {exc}", file=sys.stderr)
-        out["gadget_decompose_elems_per_s"] = None
+        setk("gadget_decompose_elems_per_s", None)
     flush()
 
     # ---- batched psi range check (monomial.rs:82-93 on tensors) --------
@@ -163,10 +176,10 @@ def main():
 
     try:
         rate, _ = chain_rate(build_rc, 2048, lo=2, hi=66, reps=3)
-        out["psi_range_check_elems_per_s"] = round(rate, 1)
+        setk("psi_range_check_elems_per_s", round(rate, 1))
     except Exception as exc:  # noqa
         print(f"range-check bench failed: {exc}", file=sys.stderr)
-        out["psi_range_check_elems_per_s"] = None
+        setk("psi_range_check_elems_per_s", None)
     flush()
 
     # ---- 20-var dense MLE full evaluation (config 4's hot loop) --------
@@ -190,10 +203,10 @@ def main():
 
     try:
         rate, _ = chain_rate(build_mle, 1, lo=1, hi=5, reps=3)
-        out["mle20_full_evaluate_xla_halving_per_s"] = round(rate, 2)
+        setk("mle20_full_evaluate_xla_halving_per_s", round(rate, 2))
     except Exception as exc:  # noqa
         print(f"mle bench failed: {exc}", file=sys.stderr)
-        out["mle20_full_evaluate_xla_halving_per_s"] = None
+        setk("mle20_full_evaluate_xla_halving_per_s", None)
     flush()
 
     # ---- same, via the one-kernel Pallas evaluation (mle/pallas_fix) ----
@@ -214,10 +227,10 @@ def main():
     try:
         rate, _ = chain_rate(build_mle_pallas, 1, lo=2, hi=258,
                              reps=3, cap=95_000)
-        out["mle20_full_evaluate_pallas_per_s"] = round(rate, 2)
+        setk("mle20_full_evaluate_pallas_per_s", round(rate, 2))
     except Exception as exc:  # noqa
         print(f"mle pallas bench failed: {exc}", file=sys.stderr)
-        out["mle20_full_evaluate_pallas_per_s"] = None
+        setk("mle20_full_evaluate_pallas_per_s", None)
     flush()
 
     # ---- same, via the MXU two-contraction path (mle/mxu_eval) ---------
@@ -238,10 +251,10 @@ def main():
     try:
         rate, _ = chain_rate(build_mle_mxu, 1, lo=2, hi=258, reps=3,
                              cap=95_000)
-        out["mle20_full_evaluate_mxu_per_s"] = round(rate, 2)
+        setk("mle20_full_evaluate_mxu_per_s", round(rate, 2))
     except Exception as exc:  # noqa
         print(f"mle mxu bench failed: {exc}", file=sys.stderr)
-        out["mle20_full_evaluate_mxu_per_s"] = None
+        setk("mle20_full_evaluate_mxu_per_s", None)
     flush()
 
     # ---- point-BATCHED evaluation: one shared table contraction --------
@@ -269,10 +282,10 @@ def main():
         # chain of two-contraction evals — the r03 null); each many-eval
         # is ~0.7 ms so hi-lo=32 still gives a ~22 ms differenced signal
         rate, _ = chain_rate(build_mle_many, W, lo=2, hi=34, reps=3)
-        out[f"mle20_evaluate_many_W{W}_points_per_s"] = round(rate, 2)
+        setk(f"mle20_evaluate_many_W{W}_points_per_s", round(rate, 2))
     except Exception as exc:  # noqa
         print(f"mle many bench failed: {exc}", file=sys.stderr)
-        out[f"mle20_evaluate_many_W{W}_points_per_s"] = None
+        setk(f"mle20_evaluate_many_W{W}_points_per_s", None)
     flush()
 
     # ---- full 20-var sumcheck prover arithmetic (one jit module) -------
@@ -301,10 +314,10 @@ def main():
 
     try:
         rate, _ = chain_rate(build_sumcheck, 1, lo=2, hi=34, reps=3)
-        out["sumcheck20_product_proofs_per_s"] = round(rate, 2)
+        setk("sumcheck20_product_proofs_per_s", round(rate, 2))
     except Exception as exc:  # noqa
         print(f"sumcheck bench failed: {exc}", file=sys.stderr)
-        out["sumcheck20_product_proofs_per_s"] = None
+        setk("sumcheck20_product_proofs_per_s", None)
     flush()
 
     # ---- folding combine: w' = c*w + v with a FIXED challenge c --------
@@ -336,10 +349,10 @@ def main():
     try:
         rate, _ = chain_rate(build_fold, Bw, lo=2, hi=8, reps=3,
                              cap=40_000)
-        out["fold_combine_deg2^16_witnesses_per_s"] = round(rate, 1)
+        setk("fold_combine_deg2^16_witnesses_per_s", round(rate, 1))
     except Exception as exc:  # noqa
         print(f"fold combine bench failed: {exc}", file=sys.stderr)
-        out["fold_combine_deg2^16_witnesses_per_s"] = None
+        setk("fold_combine_deg2^16_witnesses_per_s", None)
     flush()
 
     # ---- composed folding step (protocol/folding.py): ONE jit module ---
@@ -379,12 +392,12 @@ def main():
 
     try:
         rate, _ = chain_rate(build_foldstep, Wf, lo=1, hi=5, reps=3)
-        out["folding_step_composed_W16_L1024_per_s"] = round(rate, 2)
-        out["folding_step_stages"] = \
-            "challenge_fold+icrt+gadget_decompose+l2_check+crt+commit_n8"
+        setk("folding_step_composed_W16_L1024_per_s", round(rate, 2))
+        setk("folding_step_stages",
+             "challenge_fold+icrt+gadget_decompose+l2_check+crt+commit_n8")
     except Exception as exc:  # noqa
         print(f"folding step bench failed: {exc}", file=sys.stderr)
-        out["folding_step_composed_W16_L1024_per_s"] = None
+        setk("folding_step_composed_W16_L1024_per_s", None)
     flush()
 
     line = json.dumps(out)

@@ -123,9 +123,12 @@ def int_to_words(v: int, n_words: int):
 def l2_check(f: Field, x, bound_sq: int, axis=None):
     """Traced norm check: ||x||_2^2 <= bound_sq, elementwise over the
     non-reduced axes.  The comparison is a lexicographic word compare
-    (most-significant first) — no host round trip."""
+    (most-significant first) — no host round trip.  A bound too large
+    for the norm's word count is mathematically always satisfied."""
     words = l2_norm_squared_words(f, x, axis=axis)
     W = words.shape[-1]
+    if bound_sq >= 1 << (32 * W):
+        return jnp.ones(words.shape[:-1], dtype=bool)
     bw = int_to_words(bound_sq, W)
     le = jnp.ones(words.shape[:-1], dtype=bool)
     decided = jnp.zeros_like(le)

@@ -67,9 +67,17 @@ def sumcheck_prove_with_challenges(f, G, H, challenges):
 # k-1 extra adds and one extra product per evaluation point, all batched.
 
 
-def sumcheck_round_many(f, tables):
+def sumcheck_round_many(f, tables, reduce=None):
     """One round for S = sum_x prod_i T_i(x): degree-k message + fold
-    ingredients.  Returns (msgs [k+1, ...], t0s, deltas)."""
+    ingredients.  Returns (msgs [k+1, ...], t0s, deltas).
+
+    ``reduce`` maps the elementwise product table to the message scalar
+    (default: local modular sum).  The sharded prover passes its
+    psum-backed exact reduction so the degree-k stepping has exactly
+    one implementation."""
+    if reduce is None:
+        def reduce(x):
+            return f.sum(x, axis=0)
     halves = [(T[0::2], T[1::2]) for T in tables]
     deltas = [f.sub(t1, t0) for t0, t1 in halves]
 
@@ -77,7 +85,7 @@ def sumcheck_round_many(f, tables):
         acc = vals[0]
         for v in vals[1:]:
             acc = f.mul(acc, v)
-        return f.sum(acc, axis=0)
+        return reduce(acc)
 
     msgs = [prod_sum([t0 for t0, _ in halves]),
             prod_sum([t1 for _, t1 in halves])]

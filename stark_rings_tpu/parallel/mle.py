@@ -201,12 +201,6 @@ class ShardedMLE:
             words = jnp.sum(w.reshape(-1, w.shape[-1]), axis=0)
             return f.reduce_words(psum_words(words, axis))
 
-        def prod_of(vals):
-            acc = vals[0]
-            for v in vals[1:]:
-                acc = f.mul(acc, v)
-            return acc
-
         def local(*args):
             from ..mle.sumcheck import (sumcheck_fold_many,
                                         sumcheck_round_many)
@@ -215,17 +209,12 @@ class ShardedMLE:
             challenges = args[k:]
             msgs = []
             for i in range(nv - logP):
-                halves = [(T[0::2], T[1::2]) for T in tables]
-                deltas = [f.sub(t1, t0) for t0, t1 in halves]
-                round_msgs = [exact_sum(prod_of([t0 for t0, _ in halves])),
-                              exact_sum(prod_of([t1 for _, t1 in halves]))]
-                cur = [t1 for _, t1 in halves]
-                for _ in range(2, k + 1):
-                    cur = [f.add(c, d) for c, d in zip(cur, deltas)]
-                    round_msgs.append(exact_sum(prod_of(cur)))
+                # the shared degree-k stepping, with the psum-backed
+                # exact reduction swapped in for the local sum
+                round_msgs, t0s, deltas = sumcheck_round_many(
+                    f, tables, reduce=exact_sum)
                 msgs.append(jnp.stack(round_msgs))
-                tables = sumcheck_fold_many(
-                    f, challenges[i], [t0 for t0, _ in halves], deltas)
+                tables = sumcheck_fold_many(f, challenges[i], t0s, deltas)
             tables = [jax.lax.all_gather(T, axis, axis=0, tiled=True)
                       for T in tables]
             for i in range(nv - logP, nv):
