@@ -93,6 +93,35 @@ def main():
         int(f.decode(r_vals)[0])
     print("verifier transcript replay matches")
 
+    # --- the same step as ONE jit module (protocol.FoldingStep) --------
+    # challenge fold + icrt + gadget decompose + traced L2 check + crt +
+    # Ajtai digit commitment, composed — the production-rate shape
+    # (~1.7x the sum of the stages on chip, PERF_NOTES).
+    import jax.numpy as jnp
+
+    from stark_rings_tpu.protocol import FoldingStep
+
+    fs = FoldingStep(ring, n_rows=n, wit_len=m, base=base, k=k)
+    cP = jax.device_put(fs.init_tables(rng))
+    rt = fs.precompute_challenge(
+        np.asarray(ring.from_scalar_coeff(int(f.decode(r_vals)[0]))))
+    W = 2
+    s0t = fs.rand_witness(W, rng)
+    s1t = fs.rand_witness(W, rng)
+    c0t = fs.tm.to_t(jnp.asarray(np.asarray(ring.rand_ntt((W, n), rng))))
+    c1t = fs.tm.to_t(jnp.asarray(np.asarray(ring.rand_ntt((W, n), rng))))
+    o = jax.jit(fs.step)(cP, s0t, s1t, c0t, c1t, rt)
+    assert bool(np.asarray(o["ok_l2"]).all()), "composed L2 check failed"
+    # linearity of the composed fold (same check as the staged path)
+    want = ring.add(fs.tm.from_t(s0t), ring.ntt_mul(
+        fs.tm.from_t(s1t),
+        jnp.broadcast_to(jnp.asarray(ring.crt(jnp.asarray(
+            ring.from_scalar_coeff(int(f.decode(r_vals)[0])))[None]))[0],
+            fs.tm.from_t(s1t).shape)))
+    assert (np.asarray(fs.tm.from_t(o["s"])) == np.asarray(want)).all()
+    print("composed one-module folding step matches the staged fold; "
+          f"digit commitment shape {np.asarray(o['cd']).shape}")
+
 
 if __name__ == "__main__":
     main()
