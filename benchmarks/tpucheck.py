@@ -216,6 +216,53 @@ def run_checks(flush=lambda: None, checks=None):
     record("mle.mxu_eval.evaluate[nv=20]", [1 << nv],
            v_mxu == v_xla, note="vs XLA halving loop")
 
+    # ---- composed protocol step vs the stage-by-stage public surface ---
+    try:
+        import random as _random
+
+        from stark_rings_tpu.decomp import gadget_decompose
+        from stark_rings_tpu.linalg import Matrix, RingElems
+        from stark_rings_tpu.protocol import FoldingStep
+        from stark_rings_tpu.rings import get_ring
+
+        ring = get_ring("goldilocks")
+        fsr = FoldingStep(ring, n_rows=4, wit_len=64, base=256)
+        rr = _random.Random(77)
+        cP = jax.device_put(fsr.init_tables(rr))
+        r_el = ring.rand_coeff((), rr)
+        rt = fsr.precompute_challenge(r_el)
+        Wp = 4
+        s0t = fsr.rand_witness(Wp, rr)
+        s1t = fsr.rand_witness(Wp, rr)
+        c0t = fsr.tm.to_t(jnp.asarray(np.asarray(
+            ring.rand_ntt((Wp, 4), rr))))
+        c1t = fsr.tm.to_t(jnp.asarray(np.asarray(
+            ring.rand_ntt((Wp, 4), rr))))
+        o = jax.jit(fsr.step)(cP, s0t, s1t, c0t, c1t, rt)
+        # staged oracle on the public batch-leading surface
+        r_ntt = np.asarray(ring.crt(jnp.asarray(r_el)[None]))[0]
+        s1l = fsr.tm.from_t(s1t)
+        want_s = np.asarray(ring.add(fsr.tm.from_t(s0t), ring.ntt_mul(
+            s1l, jnp.broadcast_to(jnp.asarray(r_ntt), s1l.shape))))
+        ok = np.array_equal(np.asarray(fsr.tm.from_t(o["s"])), want_s)
+        want_d = np.asarray(gadget_decompose(
+            ring.field, ring.icrt(jnp.asarray(want_s)), fsr.base, fsr.k))
+        ok &= np.array_equal(np.asarray(fsr.tm.from_t(o["digits"])),
+                             want_d)
+        A = Matrix(RingElems(ring), jnp.asarray(fsr.tm.from_t(
+            jnp.asarray(np.asarray(fsr.init_tables(
+                _random.Random(77))["Agt"])))))
+        got_cd = np.asarray(fsr.tm.from_t(o["cd"]))
+        for w in range(Wp):
+            ok &= np.array_equal(
+                got_cd[w],
+                np.asarray(A.mul_vec(ring.crt(jnp.asarray(want_d[w])))))
+        record("protocol.FoldingStep.step[composed]", [Wp, 64],
+               bool(ok), note="vs staged public-surface pipeline")
+    except Exception as exc:  # noqa: BLE001
+        record("protocol.FoldingStep.step[composed]", [], False,
+               note=f"failed: {type(exc).__name__}: {exc}")
+
     # ---- heavy big-degree fused multiplies LAST (budget-guarded): their
     # remote compiles dominate the audit's wall clock ---------------------
     try:
