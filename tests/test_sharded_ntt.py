@@ -278,44 +278,55 @@ def test_sharded_mxu_local_overlap_matches():
     assert np.array_equal(plain, ov)
 
 
-def test_pallas_exchange_matches_xla_collective():
-    """The flag-gated Pallas remote-copy exchange (twiddle fused into the
-    send loop, parallel/pallas_exchange.py) is bit-exact vs the XLA
-    all_to_all path — forward and full mul, batch and batchless, via the
-    distributed interpret mode on the CPU mesh."""
+def _pallas_vs_xla(Pn=8, N=1 << 8, B=2):
     import jax
     import numpy as np
     from stark_rings_tpu.fields import get_field
     from stark_rings_tpu.parallel import ShardedNTT, make_mesh
 
-    Pn = 8
     if len(jax.devices()) < Pn:
         import pytest
         pytest.skip("not enough devices")
     f = get_field("goldilocks")
-    N, B = 1 << 8, 2     # interpret-mode remote-DMA is python-loop slow;
-    #                      the slice/semaphore logic is size-independent
     rng = np.random.default_rng(12)
     mesh = make_mesh(Pn)
     sx = ShardedNTT("goldilocks", N, Pn)
     sp = ShardedNTT("goldilocks", N, Pn, exchange="pallas",
                     exchange_interpret=True)
-    fx, _, mx = sx.make_fns(mesh, batch_ndim=1)
-    fp, _, mp = sp.make_fns(mesh, batch_ndim=1)
     a = sx.to_matrix(rng.integers(0, f.q, size=(B, N), dtype=np.uint64))
     b = sx.to_matrix(rng.integers(0, f.q, size=(B, N), dtype=np.uint64))
-    assert (np.asarray(fx(a)) == np.asarray(fp(a))).all()
-    assert (np.asarray(mx(a, b)) == np.asarray(mp(a, b))).all()
+    return f, mesh, sx, sp, a, b, rng
 
-    # inverse direction through the fused kernel: roundtrip == id and
-    # inverse(fwd(x)) agrees with the XLA-collective inverse
-    _, ix, _ = sx.make_fns(mesh, batch_ndim=1, overlap=False)
-    _, ip, _ = sp.make_fns(mesh, batch_ndim=1, overlap=False)
+
+def test_pallas_exchange_matches_xla_collective():
+    """The Pallas remote-copy exchange (twiddle fused into the send
+    loop, parallel/pallas_exchange.py) is bit-exact vs the XLA
+    all_to_all path — forward AND inverse, via the distributed
+    interpret mode on the CPU mesh.  (N = 2^8, B = 2: interpret-mode
+    remote-DMA is python-loop slow; the slice/semaphore logic is
+    size-independent.)"""
+    import numpy as np
+
+    f, mesh, sx, sp, a, b, rng = _pallas_vs_xla()
+    fx, ix, _ = sx.make_fns(mesh, batch_ndim=1, overlap=False)
+    fp, ip, _ = sp.make_fns(mesh, batch_ndim=1, overlap=False)
+    assert (np.asarray(fx(a)) == np.asarray(fp(a))).all()
     ya = fx(a)
     assert (np.asarray(ix(ya)) == np.asarray(ip(ya))).all()
     assert (np.asarray(ip(fp(a))) == np.asarray(a)).all()
 
-    # cached-operand path end-to-end on the pallas exchange
+
+@pytest.mark.slow
+def test_pallas_exchange_mul_cached_batchless():
+    """Heavier pallas-exchange coverage: full mul, the cached-operand
+    path end-to-end, and the batchless layout."""
+    import numpy as np
+
+    f, mesh, sx, sp, a, b, rng = _pallas_vs_xla()
+    _, _, mx = sx.make_fns(mesh, batch_ndim=1)
+    _, _, mp = sp.make_fns(mesh, batch_ndim=1)
+    assert (np.asarray(mx(a, b)) == np.asarray(mp(a, b))).all()
+
     prex, mcx, sqx = sx.make_cached_fns(mesh, batch_ndim=1)
     prep, mcp, sqp = sp.make_cached_fns(mesh, batch_ndim=1)
     vb = prex(b)
@@ -323,10 +334,10 @@ def test_pallas_exchange_matches_xla_collective():
     assert (np.asarray(mcx(a, vb)) == np.asarray(mcp(a, vb))).all()
     assert (np.asarray(sqx(a)) == np.asarray(sqp(a))).all()
 
-    # batchless ([N1, N2]) layout through the same flag
     fx0, ix0, _ = sx.make_fns(mesh)
     fp0, ip0, _ = sp.make_fns(mesh)
-    c = sx.to_matrix(rng.integers(0, f.q, size=(N,), dtype=np.uint64))
+    c = sx.to_matrix(rng.integers(0, f.q, size=(1 << 8,),
+                                  dtype=np.uint64))
     assert (np.asarray(fx0(c)) == np.asarray(fp0(c))).all()
     assert (np.asarray(ip0(fp0(c))) == np.asarray(c)).all()
 
