@@ -363,41 +363,50 @@ def main():
     # reconciles the two).
     from stark_rings_tpu.protocol import FoldingStep
 
-    Wf, Lf, nf = 16, 1024, 8
+    Lf, nf = 1024, 8
     fs = FoldingStep(ring, n_rows=nf, wit_len=Lf, base=256)
 
-    def build_foldstep(depth):
-        r2 = random.Random(13)
-        cP = jax.device_put(fs.init_tables(r2))
-        rt = jax.device_put(
-            fs.precompute_challenge(ring.rand_coeff((), r2)))
-        s0 = jax.device_put(fs.rand_witness(Wf, r2))
-        s1 = jax.device_put(fs.rand_witness(Wf, r2))
-        c0 = jax.device_put(fs.tm.to_t(jnp.asarray(
-            np.asarray(ring.rand_ntt((Wf, nf), r2)))))
-        c1 = jax.device_put(fs.tm.to_t(jnp.asarray(
-            np.asarray(ring.rand_ntt((Wf, nf), r2)))))
+    def build_foldstep_W(Wf):
+        def build(depth):
+            r2 = random.Random(13)
+            cP = jax.device_put(fs.init_tables(r2))
+            rt = jax.device_put(
+                fs.precompute_challenge(ring.rand_coeff((), r2)))
+            s0 = jax.device_put(fs.rand_witness(Wf, r2))
+            s1 = jax.device_put(fs.rand_witness(Wf, r2))
+            c0 = jax.device_put(fs.tm.to_t(jnp.asarray(
+                np.asarray(ring.rand_ntt((Wf, nf), r2)))))
+            c1 = jax.device_put(fs.tm.to_t(jnp.asarray(
+                np.asarray(ring.rand_ntt((Wf, nf), r2)))))
 
-        def fn(cP, s0, s1, c0, c1, rt):
-            for _ in range(depth):
-                o = fs.step(cP, s0, s1, c0, c1, rt)
-                # dependent chain: folded witness + digit commitment feed
-                # the next step; the L2 check bit perturbs an operand so
-                # no stage can be elided
-                mask = o["ok_l2"].astype(jnp.uint64)[None, :, None]
-                s1 = f.add(s1, mask)
-                s0, c0 = o["s"], o["cd"]
-            return s0
-        return jax.jit(fn), (cP, s0, s1, c0, c1, rt)
+            def fn(cP, s0, s1, c0, c1, rt):
+                for _ in range(depth):
+                    o = fs.step(cP, s0, s1, c0, c1, rt)
+                    # dependent chain: folded witness + digit commitment
+                    # feed the next step; the L2 check bit perturbs an
+                    # operand so no stage can be elided
+                    mask = o["ok_l2"].astype(jnp.uint64)[None, :, None]
+                    s1 = f.add(s1, mask)
+                    s0, c0 = o["s"], o["cd"]
+                return s0
+            return jax.jit(fn), (cP, s0, s1, c0, c1, rt)
+        return build
 
-    try:
-        rate, _ = chain_rate(build_foldstep, Wf, lo=1, hi=5, reps=3)
-        setk("folding_step_composed_W16_L1024_per_s", round(rate, 2))
-        setk("folding_step_stages",
-             "challenge_fold+icrt+gadget_decompose+l2_check+crt+commit_n8")
-    except Exception as exc:  # noqa
-        print(f"folding step bench failed: {exc}", file=sys.stderr)
-        setk("folding_step_composed_W16_L1024_per_s", None)
+    # W=8 is the e52 witness-throughput optimum; W=16 kept for the r04
+    # comparison series
+    for Wf in (8, 16):
+        try:
+            rate, _ = chain_rate(build_foldstep_W(Wf), Wf, lo=1, hi=5,
+                                 reps=3)
+            setk(f"folding_step_composed_W{Wf}_L1024_per_s",
+                 round(rate, 2))
+        except Exception as exc:  # noqa
+            print(f"folding step W={Wf} bench failed: {exc}",
+                  file=sys.stderr)
+            setk(f"folding_step_composed_W{Wf}_L1024_per_s", None)
+        flush()
+    setk("folding_step_stages",
+         "challenge_fold+icrt+gadget_decompose+l2_check+crt+commit_n8")
     flush()
 
     line = json.dumps(out)
