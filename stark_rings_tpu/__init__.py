@@ -20,10 +20,12 @@ Layer map (mirrors SURVEY.md §1):
     mle/       L3  dense/sparse multilinear extensions + helpers
     ops/       derived kernels: CRT stage tables, large power-of-two NTTs
     parallel/  multi-chip: mesh + four-step sharded NTT
+    protocol/  composed folding-step pipelines (one jit module per step)
     spec/      integer-exact oracle (bit-exactness anchor vs the Rust crate)
 """
 
-from . import decomp, fields, linalg, mle, ops, parallel, rings, spec
+from . import (decomp, fields, linalg, mle, ops, parallel, protocol,
+               rings, spec)
 from .decomp import (decompose, gadget_decompose, gadget_recompose,
                      recompose)
 from .errors import ConversionError
@@ -32,6 +34,7 @@ from .linalg import (AlgebraError, FieldElems, Matrix, RingElems,
                      SparseMatrix, SymmetricMatrix)
 from .mle import ArithError, DenseMLE, SparseMLE
 from .parallel import ShardedNTT, make_mesh
+from .protocol import FoldingStep
 from .rings import RINGS, RingModel, Rq, get_power_ring, get_ring
 
 __version__ = "0.2.0"
@@ -40,7 +43,8 @@ __version__ = "0.2.0"
 # (crates/ring/src/lib.rs:4-12, stark-rings lib.rs) — mirror that:
 # the common types are importable from the package top level.
 __all__ = [
-    "fields", "rings", "decomp", "linalg", "mle", "ops", "parallel", "spec",
+    "fields", "rings", "decomp", "linalg", "mle", "ops", "parallel",
+    "protocol", "spec", "FoldingStep",
     "get_field", "get_ring", "get_power_ring", "FIELDS", "RINGS",
     "RingModel", "Rq", "Matrix", "SparseMatrix", "SymmetricMatrix", "FieldElems",
     "RingElems", "DenseMLE", "SparseMLE", "decompose", "recompose",
