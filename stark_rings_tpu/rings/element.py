@@ -147,7 +147,14 @@ class Rq:
         return self._like(self.ring.coeff_mul(self.data, self.data))
 
     def __pow__(self, e: int):
-        assert self.form == "ntt", "pow is slotwise (NTT form)"
+        """Ring::pow (ring.rs:13-117 default: square-and-multiply) on
+        either form: coeff-form elements route through CRT — identical
+        result, one transform round trip instead of log2(e) schoolbook
+        multiplies (the reference computes pow directly on RqPoly; the
+        results agree by test_mul_crt-style equivalence)."""
+        if self.form == "coeff":
+            n = self.ring.ntt_pow(self.ring.crt(self.data), e)
+            return self._like(self.ring.icrt(n))
         return self._like(self.ring.ntt_pow(self.data, e))
 
     def inv(self):

@@ -95,3 +95,23 @@ def test_rq_l2_norm_surface():
     assert words_to_int(x.l2_norm_squared_words()) == want
     assert bool(x.l2_check(want))
     assert not bool(x.l2_check(want - 1))
+
+
+def test_rq_pow_coeff_form_matches_repeated_mul():
+    """Ring::pow on coeff-form elements (reference computes it directly
+    on RqPoly): the CRT-routed pow equals repeated schoolbook mul."""
+    from stark_rings_tpu.rings import get_ring
+    from stark_rings_tpu.rings.element import Rq
+
+    for name in ("goldilocks", "stark_prime"):
+        ring = get_ring(name)
+        a = Rq.rand(ring, (), random.Random(31))
+        p5 = a ** 5
+        assert p5.form == "coeff"
+        want = a
+        for _ in range(4):
+            want = want * a
+        assert (np.asarray(p5.data) == np.asarray(want.data)).all(), name
+        # and it agrees with the NTT-form pow through crt
+        assert (np.asarray((a.crt() ** 5).icrt().data)
+                == np.asarray(p5.data)).all(), name
