@@ -396,8 +396,13 @@ def main():
     # comparison series
     for Wf in (8, 16):
         try:
+            # physical cap: a step cannot beat its digit-CRT dot alone
+            # (W*M elements through a single prescaled dot at <= ~180M
+            # elems/s) -> steps/s <= ~2500 at M = 9216 (PERF_NOTES
+            # methodology: congestion can deflate, caps stop inflation
+            # artifacts from entering the artifact)
             rate, _ = chain_rate(build_foldstep_W(Wf), Wf, lo=1, hi=5,
-                                 reps=3)
+                                 reps=3, cap=2500 * Wf)
             setk(f"folding_step_composed_W{Wf}_L1024_per_s",
                  round(rate, 2))
         except Exception as exc:  # noqa

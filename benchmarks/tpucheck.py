@@ -228,7 +228,8 @@ def run_checks(flush=lambda: None, checks=None):
         ring = get_ring("goldilocks")
         fsr = FoldingStep(ring, n_rows=4, wit_len=64, base=256)
         rr = _random.Random(77)
-        cP = jax.device_put(fsr.init_tables(rr))
+        tbl = fsr.init_tables(rr)     # host copy reused for the oracle
+        cP = jax.device_put(tbl)
         r_el = ring.rand_coeff((), rr)
         rt = fsr.precompute_challenge(r_el)
         Wp = 4
@@ -250,8 +251,7 @@ def run_checks(flush=lambda: None, checks=None):
         ok &= np.array_equal(np.asarray(fsr.tm.from_t(o["digits"])),
                              want_d)
         A = Matrix(RingElems(ring), jnp.asarray(fsr.tm.from_t(
-            jnp.asarray(np.asarray(fsr.init_tables(
-                _random.Random(77))["Agt"])))))
+            jnp.asarray(np.asarray(tbl["Agt"])))))
         got_cd = np.asarray(fsr.tm.from_t(o["cd"]))
         for w in range(Wp):
             ok &= np.array_equal(

@@ -101,7 +101,11 @@ def main():
 
     from stark_rings_tpu.protocol import FoldingStep
 
-    fs = FoldingStep(ring, n_rows=n, wit_len=m, base=base, k=k)
+    # NOTE: k defaults to decomposition_max_length(q, base) = 32 here —
+    # the staged part's k=16 was only sound for its bound-1 SHORT
+    # witnesses; the composed step decomposes a full-range folded
+    # witness, and a too-small k would silently truncate high digits
+    fs = FoldingStep(ring, n_rows=n, wit_len=m, base=base)
     cP = jax.device_put(fs.init_tables(rng))
     rt = fs.precompute_challenge(
         np.asarray(ring.from_scalar_coeff(int(f.decode(r_vals)[0]))))

@@ -67,8 +67,17 @@ class FoldingStep:
         self.n = int(n_rows)
         self.L = int(wit_len)
         self.base = int(base)
-        self.k = int(k if k is not None
-                     else decomposition_max_length(ring.q, base))
+        kmax = decomposition_max_length(ring.q, base)
+        if k is None:
+            k = kmax
+        # the step decomposes a FOLDED witness — full field range — so a
+        # k below the field's max digit count silently truncates high
+        # digits and commits to wrong values (the fixed-k device
+        # decompose discards the residual quotient)
+        assert k >= kmax, (
+            f"k={k} < decomposition_max_length(q, {base})={kmax} would"
+            " silently truncate the folded witness's digits")
+        self.k = int(k)
         self.M = self.L * self.k
         if l2_bound_sq is None:
             l2_bound_sq = self.M * ring.D * (base // 2) ** 2

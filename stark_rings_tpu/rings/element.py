@@ -152,6 +152,7 @@ class Rq:
         result, one transform round trip instead of log2(e) schoolbook
         multiplies (the reference computes pow directly on RqPoly; the
         results agree by test_mul_crt-style equivalence)."""
+        assert e >= 0, "negative exponents: use inv() then pow"
         if self.form == "coeff":
             n = self.ring.ntt_pow(self.ring.crt(self.data), e)
             return self._like(self.ring.icrt(n))

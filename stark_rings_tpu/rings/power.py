@@ -148,6 +148,24 @@ class PowerRing:
                 cache[pallas] = Mxu2NTT(self.D)
         return cache[pallas]
 
+    def ntt_pow(self, a, e: int):
+        """Slotwise pow on the NTT form (square-and-multiply), matching
+        RingModel.ntt_pow so Rq.__pow__ works over power rings too."""
+        assert e >= 0, "negative exponents: invert first"
+        if e == 0:
+            return self.from_scalar_ntt(1, a.shape[:-1] if not
+                                        self.field.limbed else
+                                        a.shape[:-2])
+        acc = None
+        base = a
+        while e:
+            if e & 1:
+                acc = base if acc is None else self.field.mul(acc, base)
+            e >>= 1
+            if e:
+                base = self.field.mul(base, base)
+        return acc
+
     def ntt_inv(self, a):
         return self.field.inv(a)
 

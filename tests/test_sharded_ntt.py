@@ -295,7 +295,7 @@ def _pallas_vs_xla(Pn=8, N=1 << 8, B=2):
                     exchange_interpret=True)
     a = sx.to_matrix(rng.integers(0, f.q, size=(B, N), dtype=np.uint64))
     b = sx.to_matrix(rng.integers(0, f.q, size=(B, N), dtype=np.uint64))
-    return f, mesh, sx, sp, a, b, rng
+    return f, mesh, sx, sp, a, b, rng, N
 
 
 def test_pallas_exchange_matches_xla_collective():
@@ -307,7 +307,7 @@ def test_pallas_exchange_matches_xla_collective():
     size-independent.)"""
     import numpy as np
 
-    f, mesh, sx, sp, a, b, rng = _pallas_vs_xla()
+    f, mesh, sx, sp, a, b, rng, N = _pallas_vs_xla()
     fx, ix, _ = sx.make_fns(mesh, batch_ndim=1, overlap=False)
     fp, ip, _ = sp.make_fns(mesh, batch_ndim=1, overlap=False)
     assert (np.asarray(fx(a)) == np.asarray(fp(a))).all()
@@ -322,7 +322,7 @@ def test_pallas_exchange_mul_cached_batchless():
     path end-to-end, and the batchless layout."""
     import numpy as np
 
-    f, mesh, sx, sp, a, b, rng = _pallas_vs_xla()
+    f, mesh, sx, sp, a, b, rng, N = _pallas_vs_xla()
     _, _, mx = sx.make_fns(mesh, batch_ndim=1)
     _, _, mp = sp.make_fns(mesh, batch_ndim=1)
     assert (np.asarray(mx(a, b)) == np.asarray(mp(a, b))).all()
@@ -336,8 +336,7 @@ def test_pallas_exchange_mul_cached_batchless():
 
     fx0, ix0, _ = sx.make_fns(mesh)
     fp0, ip0, _ = sp.make_fns(mesh)
-    c = sx.to_matrix(rng.integers(0, f.q, size=(1 << 8,),
-                                  dtype=np.uint64))
+    c = sx.to_matrix(rng.integers(0, f.q, size=(N,), dtype=np.uint64))
     assert (np.asarray(fx0(c)) == np.asarray(fp0(c))).all()
     assert (np.asarray(ip0(fp0(c))) == np.asarray(c)).all()
 
