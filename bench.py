@@ -479,6 +479,11 @@ def sec_xla(st):
     tx = Mxu2NTT(st.N)
     cx = jax.device_put(tx.consts())
     B = st.B
+    # comparison paths feed _merge_path_rate and can become the headline
+    # — they need the same exactness gate as the primary paths
+    st.oracle_gate(
+        lambda a, b: jax.jit(lambda cc, x, y: tx.mul(x, y, cc))(cx, a, b),
+        "mxu2 xla folds")
 
     def build(depth):
         a, bs = st.operands(B, depth)
@@ -502,6 +507,9 @@ def sec_radix4(st):
 
     ctx = get_ntt("goldilocks", st.N, negacyclic=True)
     B = st.B
+    st.oracle_gate(
+        lambda a, b: jax.jit(lambda x, y: ctx.mul(x, y))(a, b),
+        "jnp radix4")
 
     def build(depth):
         a, bs = st.operands(B, depth)

@@ -81,14 +81,21 @@ def _normalize_words(words, extra: int = 2):
     return jnp.stack(digits, axis=-1)
 
 
-def l2_norm_squared_words(f: Field, x, axis=None):
+def l2_norm_squared_words(f: Field, x, axis=None, chunk_n=None):
     """Traced exact sum of squared signed magnitudes.
 
     Returns normalized little-endian base-2^32 words uint64[..., W_out]
     whose integer value equals :func:`l2_norm_squared` over the reduced
     axes (axis=None reduces every element axis; an int/tuple axis keeps
     the rest batched — the batched norm surface folding provers need).
-    Decode on host with :func:`words_to_int`."""
+    Decode on host with :func:`words_to_int`.
+
+    Exactness is unconditional: each unnormalized square word carries at
+    most 2W terms < 2^32, so a plain uint64 sum stays exact only up to
+    2^32/(2W) reduced elements (~1e9 non-limbed, ~2.7e8 for the 8-limb
+    field).  Past that STATIC bound the reduction runs in chunks with a
+    carry normalization between chunks (normalized words are < 2^32, so
+    the chunk-partial sum is exact for any realizable chunk count)."""
     from .balanced import signed_magnitude
 
     _, mag = signed_magnitude(f, x)
@@ -100,9 +107,28 @@ def l2_norm_squared_words(f: Field, x, axis=None):
         if isinstance(axis, int):
             axis = (axis,)
         red = tuple(a % (sq.ndim - 1) for a in axis)
-    if red:
-        sq = jnp.sum(sq, axis=red)
-    return _normalize_words(sq)
+    if not red:
+        return _normalize_words(sq)
+    n_red = 1
+    for a in red:
+        n_red *= sq.shape[a]
+    max_terms = 2 * w.shape[-1]           # per-word terms in _square_words
+    safe_n = (1 << 32) // max_terms       # n * max_terms * (2^32-1) < 2^64
+    if chunk_n is not None:               # test hook: force the chunk path
+        safe_n = int(chunk_n)
+    if n_red <= safe_n:
+        return _normalize_words(jnp.sum(sq, axis=red))
+    # chunked exact reduction: flatten the reduced axes to the front,
+    # normalize each chunk's partial sum before combining
+    sq = jnp.moveaxis(sq, red, tuple(range(len(red))))
+    sq = sq.reshape((n_red,) + tuple(sq.shape[len(red):]))
+    partials = []
+    for s0 in range(0, n_red, safe_n):
+        chunk = sq[s0:min(s0 + safe_n, n_red)]
+        partials.append(_normalize_words(jnp.sum(chunk, axis=0)))
+    # normalized words are < 2^32 and the chunk count is far below 2^32,
+    # so one more plain uint64 sum over the partials is exact
+    return _normalize_words(sum(partials[1:], start=partials[0]))
 
 
 def words_to_int(words) -> int:

@@ -84,13 +84,12 @@ def psi_range_check(ring: RingModel, a: int) -> bool:
     return int(c) == a % ring.q
 
 
-def exp_batched(ring: RingModel, a):
-    """Batched exp(): storage [...] -> (monomials [..., D(,L)], valid [...]).
+def _exp_pos_batched(ring: RingModel, a):
+    """Batched exp() exponent: storage [...] -> (pos int32 [...], valid).
 
-    Device-side mirror of :func:`exp` over a whole witness tensor: where
-    the reference would panic (centered > D, or centered >= D with
-    positive sign), ``valid`` is False and the monomial is zero.
-    """
+    ``pos`` is the monomial exponent exp(a) = X^pos would use; where the
+    reference would panic (centered > D, or centered >= D with positive
+    sign), ``valid`` is False (``pos`` is then garbage — callers mask)."""
     import jax.numpy as jnp
 
     f, D = ring.field, ring.D
@@ -109,10 +108,48 @@ def exp_batched(ring: RingModel, a):
     pos = jnp.where(jnp.asarray(is_pos), sm, (D - sm) % D)
     valid = jnp.asarray(high_zero) & jnp.where(
         jnp.asarray(is_pos), sm < D, sm <= D)
+    return pos, valid
+
+
+def exp_batched(ring: RingModel, a):
+    """Batched exp(): storage [...] -> (monomials [..., D(,L)], valid [...]).
+
+    Device-side mirror of :func:`exp` over a whole witness tensor: where
+    the reference would panic (centered > D, or centered >= D with
+    positive sign), ``valid`` is False and the monomial is zero.
+    """
+    import jax.numpy as jnp
+
+    f, D = ring.field, ring.D
+    pos, valid = _exp_pos_batched(ring, a)
     onehot = (jnp.arange(D, dtype=jnp.int32) == pos[..., None])
     onehot = onehot & valid[..., None]
     mono = f.select(onehot, f.ones(onehot.shape), f.zeros(onehot.shape))
     return mono, valid
+
+
+def _ct_psi_table(ring: RingModel):
+    """Canonical storage [D(,L)] table of ct(psi * X^p) for p in [0, D).
+
+    ct(psi * exp(a)) only ever reads the CONSTANT term of the product,
+    and exp(a) is a monomial — so the full D^2 schoolbook multiply of
+    the naive check collapses to this fixed table, built once per ring
+    on the integer-exact spec oracle (spec/models.py coeff_mul)."""
+    tbl = getattr(ring, "_ct_psi_cache", None)
+    if tbl is None:
+        q, D = ring.q, ring.D
+        psi_ints = [0] * D
+        for i in range(1, D // 2):
+            psi_ints[i] = (psi_ints[i] + i) % q
+            psi_ints[D - i] = (psi_ints[D - i] - i) % q
+        rows = []
+        for p in range(D):
+            xp = [0] * D
+            xp[p] = 1
+            rows.append(ring.spec.coeff_mul(psi_ints, xp)[0])
+        tbl = np.asarray(ring.field.encode(np.array(rows, dtype=object)))
+        ring._ct_psi_cache = tbl
+    return tbl
 
 
 def psi_range_check_batched(ring: RingModel, a):
@@ -120,13 +157,21 @@ def psi_range_check_batched(ring: RingModel, a):
 
     One traced graph range-checks a whole witness tensor on device
     (monomial.rs:82-93 per element): valid(exp) AND ct(psi * exp(a)) == a.
-    """
+
+    ct(psi * X^pos) is a gather from the precomputed D-entry
+    :func:`_ct_psi_table` — no ring multiply per element (the naive
+    formulation cost ~D x the Ajtai commit and kept the range check out
+    of measured protocol rates).  Exactly equal to the onehot +
+    ``coeff_mul`` formulation on every input, valid or not: for valid
+    exponents both read ct(psi * X^pos); for invalid ones the result is
+    False either way (``valid`` gates, and no garbage table entry can
+    collide with a canonical |center| >= D input)."""
     import jax.numpy as jnp
 
-    f = ring.field
-    b, valid = exp_batched(ring, a)
-    prod = ring.coeff_mul(psi(ring), b)
-    c = ct(ring, prod)
+    f, D = ring.field, ring.D
+    pos, valid = _exp_pos_batched(ring, a)
+    tbl = jnp.asarray(_ct_psi_table(ring))
+    c = jnp.take(tbl, jnp.remainder(pos, D), axis=0)
     eq = c == a
     if f.limbed:
         eq = jnp.all(eq, axis=-1)

@@ -161,6 +161,17 @@ def test_l2_norm_traced_matches_host(name):
         l2_norm_squared(f, x[i]) <= l2_norm_squared(f, x[1])
         for i in range(3)], name
 
+    # chunked reduction path (guards the >2^32/(2W)-element overflow
+    # bound with a small forced chunk size): same exact value, both for
+    # a full reduce and a batched axis reduce with non-front axes
+    flat = x.reshape(-1) if not f.limbed else x.reshape(-1, x.shape[-1])
+    wc = jax.jit(lambda x: l2_norm_squared_words(f, x, chunk_n=7))(flat)
+    assert words_to_int(wc) == want, name
+    wcb = jax.jit(
+        lambda x: l2_norm_squared_words(f, x, axis=-1, chunk_n=13))(x)
+    for i in range(3):
+        assert words_to_int(wcb[i]) == l2_norm_squared(f, x[i]), (name, i)
+
 
 # -- full-range device roundtrip over a small synthetic modulus ----------
 # Mirrors the reference's test_decompose_balanced exactly

@@ -387,6 +387,41 @@ def test_psi_range_check_batched():
             assert want[7] and want[8] and not want[9]
 
 
+def test_psi_range_check_gather_equals_coeff_mul_formulation():
+    """The table-gather range check (ct(psi * X^p) precomputed per ring)
+    equals the direct onehot + coeff_mul formulation on every input —
+    in-range, boundary, and far-out-of-range values — on all four
+    models.  Guards the gather rewrite against semantic drift."""
+    import jax.numpy as jnp
+
+    from stark_rings_tpu.rings.monomial import (
+        ct, exp_batched, psi, psi_range_check_batched)
+
+    for name in ("goldilocks", "babybear", "frog", "stark_prime"):
+        ring = get_ring(name)
+        f, q, D = ring.field, ring.q, ring.D
+        rng = random.Random(hash(name) & 0xFFFF)
+        vals = ([0, 1, D // 2 - 1, D // 2, D, q - 1, q - D // 2, q - D,
+                 (q - 1) // 2, (q + 1) // 2, 1 << 32, (1 << 32) + 3,
+                 q - (1 << 32)]
+                + [rng.randrange(q) for _ in range(32)]
+                + [rng.randrange(D) for _ in range(16)]
+                + [q - rng.randrange(1, D) for _ in range(16)])
+        enc = f.encode(np.array(vals, dtype=object))
+        got = np.asarray(psi_range_check_batched(ring, enc))
+
+        # old formulation: build exp(a) as a onehot monomial and run the
+        # full schoolbook product, reading its constant term
+        mono, valid = exp_batched(ring, enc)
+        prod = ring.coeff_mul(np.asarray(psi(ring)), mono)
+        c = ct(ring, prod)
+        eq = jnp.asarray(c == jnp.asarray(enc))
+        if f.limbed:
+            eq = jnp.all(eq, axis=-1)
+        want = np.asarray(jnp.asarray(valid) & eq)
+        assert got.tolist() == want.tolist(), name
+
+
 def test_ntt_pow_and_pow_rot():
     """Direct tests for ntt_pow (slotwise square&multiply) and pow_rot
     (iterated Cyclotomic::rot, traits.rs:58-84 / ring.rs pow)."""
