@@ -34,7 +34,7 @@ from .linalg import (AlgebraError, FieldElems, Matrix, RingElems,
                      SparseMatrix, SymmetricMatrix)
 from .mle import ArithError, DenseMLE, SparseMLE
 from .parallel import ShardedNTT, make_mesh
-from .protocol import FoldingStep
+from .protocol import FoldingStep, FoldingTree
 from .rings import RINGS, RingModel, Rq, get_power_ring, get_ring
 
 __version__ = "0.2.0"
@@ -44,7 +44,7 @@ __version__ = "0.2.0"
 # the common types are importable from the package top level.
 __all__ = [
     "fields", "rings", "decomp", "linalg", "mle", "ops", "parallel",
-    "protocol", "spec", "FoldingStep",
+    "protocol", "spec", "FoldingStep", "FoldingTree",
     "get_field", "get_ring", "get_power_ring", "FIELDS", "RINGS",
     "RingModel", "Rq", "Matrix", "SparseMatrix", "SymmetricMatrix", "FieldElems",
     "RingElems", "DenseMLE", "SparseMLE", "decompose", "recompose",

@@ -21,17 +21,47 @@ import jax.numpy as jnp
 
 __all__ = ["sumcheck_round", "sumcheck_fold",
            "sumcheck_prove_with_challenges", "sumcheck_round_many",
-           "sumcheck_fold_many", "sumcheck_prove_many_with_challenges"]
+           "sumcheck_fold_many", "sumcheck_prove_many_with_challenges",
+           "bit_reverse_table"]
 
 
-def sumcheck_round(f, G, H):
+def _halves(T, order):
+    """The two cosets of the variable bound this round.
+
+    ``order="lsb"`` binds x_0 (the LSB of the little-endian index —
+    the reference's fix_variables convention, dense.rs:171-199);
+    ``order="msb"`` binds the TOP variable (contiguous halves — the
+    TPU-native layout the Pallas prover streams, mle/pallas_sumcheck).
+    Either order is a sound sumcheck for the same claim; the messages
+    relate by the bit-reversal identity (see bit_reverse_table)."""
+    if order == "lsb":
+        return T[0::2], T[1::2]
+    assert order == "msb", order
+    h = T.shape[0] // 2
+    return T[:h], T[h:]
+
+
+def bit_reverse_table(T):
+    """Little-endian bit-reversal permutation of a 2^nv eval table:
+    out[rev(i)] = T[i].  msb-order proving on bit_reverse_table(T)
+    produces EXACTLY the lsb-order messages/finals for T (each round
+    binds the same variable of the same multilinear), so one transpose
+    converts between the conventions — tested in test_sumcheck_lib."""
+    n = T.shape[0]
+    nv = n.bit_length() - 1
+    assert 1 << nv == n
+    return T.reshape((2,) * nv).transpose(tuple(reversed(range(nv)))
+                                          ).reshape(n)
+
+
+def sumcheck_round(f, G, H, order: str = "lsb"):
     """One round's message for the product claim over tables G, H.
 
-    Variable x_0 (the LSB of the little-endian index) is bound this
-    round: returns (p0, p1, p2, G0, H0, dG, dH) with p(t) evaluated at
-    t = 0, 1, 2 and the ingredients the fold needs."""
-    G0, G1 = G[0::2], G[1::2]
-    H0, H1 = H[0::2], H[1::2]
+    Binds this round's variable (see :func:`_halves` for the order
+    convention): returns (p0, p1, p2, G0, H0, dG, dH) with p(t)
+    evaluated at t = 0, 1, 2 and the ingredients the fold needs."""
+    G0, G1 = _halves(G, order)
+    H0, H1 = _halves(H, order)
     dG, dH = f.sub(G1, G0), f.sub(H1, H0)
     p0 = f.sum(f.mul(G0, H0), axis=0)
     p1 = f.sum(f.mul(G1, H1), axis=0)
@@ -45,15 +75,17 @@ def sumcheck_fold(f, r, G0, H0, dG, dH):
     return f.add(G0, f.mul(r, dG)), f.add(H0, f.mul(r, dH))
 
 
-def sumcheck_prove_with_challenges(f, G, H, challenges):
+def sumcheck_prove_with_challenges(f, G, H, challenges, order: str = "lsb"):
     """Full prover arithmetic for known challenges, one traceable graph.
 
     Returns (msgs [nv, 3] field storage, g(r), h(r)) — the per-round
     degree-2 messages and the fully-bound table values the verifier's
-    final check consumes."""
+    final check consumes.  ``order="msb"`` binds top variables first
+    (challenge j lands on variable nv-1-j; the final values are the
+    same polynomials at the reversed point)."""
     msgs = []
     for r in challenges:
-        p0, p1, p2, G0, H0, dG, dH = sumcheck_round(f, G, H)
+        p0, p1, p2, G0, H0, dG, dH = sumcheck_round(f, G, H, order)
         G, H = sumcheck_fold(f, r, G0, H0, dG, dH)
         msgs.append(jnp.stack([p0, p1, p2]))
     return jnp.stack(msgs), G[0], H[0]
@@ -67,7 +99,7 @@ def sumcheck_prove_with_challenges(f, G, H, challenges):
 # k-1 extra adds and one extra product per evaluation point, all batched.
 
 
-def sumcheck_round_many(f, tables, reduce=None):
+def sumcheck_round_many(f, tables, reduce=None, order: str = "lsb"):
     """One round for S = sum_x prod_i T_i(x): degree-k message + fold
     ingredients.  Returns (msgs [k+1, ...], t0s, deltas).
 
@@ -78,7 +110,7 @@ def sumcheck_round_many(f, tables, reduce=None):
     if reduce is None:
         def reduce(x):
             return f.sum(x, axis=0)
-    halves = [(T[0::2], T[1::2]) for T in tables]
+    halves = [_halves(T, order) for T in tables]
     deltas = [f.sub(t1, t0) for t0, t1 in halves]
 
     def prod_sum(vals):
@@ -101,7 +133,8 @@ def sumcheck_fold_many(f, r, t0s, deltas):
     return [f.add(t0, f.mul(r, d)) for t0, d in zip(t0s, deltas)]
 
 
-def sumcheck_prove_many_with_challenges(f, tables, challenges):
+def sumcheck_prove_many_with_challenges(f, tables, challenges,
+                                        order: str = "lsb"):
     """k-ary product prover for known challenges, one traceable graph.
 
     Returns (msgs [nv, k+1], finals [k]) — per-round degree-k messages
@@ -110,7 +143,8 @@ def sumcheck_prove_many_with_challenges(f, tables, challenges):
     p(0) + p(1) == previous claim, finishing with prod(finals)."""
     msgs = []
     for r in challenges:
-        round_msgs, t0s, deltas = sumcheck_round_many(f, tables)
+        round_msgs, t0s, deltas = sumcheck_round_many(f, tables,
+                                                      order=order)
         tables = sumcheck_fold_many(f, r, t0s, deltas)
         msgs.append(jnp.stack(round_msgs))
     return jnp.stack(msgs), [T[0] for T in tables]

@@ -180,7 +180,7 @@ class TModelMul:
         c = jnp.take(c_deg, self._inv_perm, axis=1)
         return c.reshape((N * E,) + c.shape[2:])
 
-    def matvec_t(self, At, xt):
+    def matvec_t(self, At, xt, block: int | None = None):
         """NTT-form mat-vec in the transposed layout.
 
         ``At [D, n, m]`` (matrix of NTT-form ring elements), ``xt
@@ -188,18 +188,33 @@ class TModelMul:
         ``[D, W, n]``: c[i] = sum_j A[i, j] * x[j]
         (the reference's checked_mul_vec over RqNTT, matrix.rs:148-188).
         The contraction axis is placed MAJOR (cross-lane reductions
-        lose ~3x) and the broadcasts stay lazy inside ntt_mul_bt."""
+        lose ~3x) and the broadcasts stay lazy inside ntt_mul_bt.
+
+        ``block``: contraction-blocked exact accumulation (the
+        Matrix.mul_mat pattern) — only [D, block, W, n] of slot products
+        is ever live; each block widens to base-2^32 words summed in
+        uint64 (exact: words < 2^32, far fewer than 2^32 addends) with
+        one fold mod q at the end.  Bounds peak memory for large n*m
+        commitments; bit-equal to the unblocked path (tested)."""
         f = self.f
         assert not f.limbed, "use f.mul/f.sum directly for E == 1 limbed"
         D, n, m = At.shape
         Am = jnp.transpose(At, (0, 2, 1))            # [D, m, n]
         if xt.ndim == 2:
+            res = self.matvec_t(At, xt[:, None], block=block)
+            return res[:, 0]
+        xm = xt.transpose(0, 2, 1)                   # [D, m, W]
+        if block is None or block >= m:
             prod = self.ntt_mul_bt(Am[:, :, None, :],      # [D, m, 1, n]
-                                   xt[:, :, None, None])   # [D, m, 1, 1]
-            return f.sum(prod, axis=1)[:, 0]
-        prod = self.ntt_mul_bt(Am[:, :, None, :],          # [D, m, 1, n]
-                               xt.transpose(0, 2, 1)[:, :, :, None])
-        return f.sum(prod, axis=1)                   # [D, W, n]
+                                   xm[:, :, :, None])      # [D, m, W, 1]
+            return f.sum(prod, axis=1)               # [D, W, n]
+        acc = None
+        for s in range(0, m, block):
+            prod = self.ntt_mul_bt(Am[:, s:s + block, None, :],
+                                   xm[:, s:s + block, :, None])
+            w = jnp.sum(f.widen(prod), axis=1)       # [D, W, n, words]
+            acc = w if acc is None else acc + w
+        return f.reduce_words(acc)
 
     def mul_t(self, at, bt, c=None):
         """Transposed coeff-form multiply: icrt(crt(a) *slot crt(b))."""

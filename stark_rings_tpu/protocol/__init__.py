@@ -6,6 +6,7 @@ gadget decomposition, range/norm checks, Ajtai commitment — into ONE
 jitted module per step, so a prover pays the layout transposes and
 dispatch latency once per step instead of once per stage."""
 
-from .folding import FoldingStep
+from .folding import FoldingStep, ntt_matvec
+from .tree import FoldingTree
 
-__all__ = ["FoldingStep"]
+__all__ = ["FoldingStep", "FoldingTree", "ntt_matvec"]

@@ -37,7 +37,32 @@ from ..decomp import decompose, decomposition_max_length
 from ..decomp.norms import l2_check
 from ..ops.model_mul import TModelMul
 
-__all__ = ["FoldingStep"]
+__all__ = ["FoldingStep", "ntt_matvec"]
+
+
+def ntt_matvec(f, tm, E, At, xt, block: int | None = None):
+    """c[i] = sum_j A[i, j] * x[j] over NTT-form ring elements in the
+    transposed layout: ``At [D, n, m]``, ``xt [D, W, m]`` -> [D, W, n]
+    (matrix.rs:148-188 semantics; limb axis trails when f.limbed).
+
+    ``block``: M-blocked widened-word accumulation (Matrix.mul_mat
+    pattern) bounding the live product tensor; bit-equal to the
+    unblocked contraction."""
+    m = At.shape[2]
+    if E > 1:
+        return tm.matvec_t(
+            At, xt, block=None if (block is None or block >= m) else block)
+    # slot field == base field: slotwise mul is a field mul
+    if block is None or block >= m:
+        prod = f.mul(At[:, None], xt[:, :, None])
+        return f.sum(prod, axis=3)
+    acc = None
+    for s in range(0, m, block):
+        prod = f.mul(At[:, None, :, s:s + block],
+                     xt[:, :, None, s:s + block])
+        w = jnp.sum(f.widen(prod), axis=3)
+        acc = w if acc is None else acc + w
+    return f.reduce_words(acc)
 
 
 class FoldingStep:
@@ -105,14 +130,27 @@ class FoldingStep:
         return self.tm.to_t(jnp.asarray(
             np.asarray(self.ring.rand_ntt((W, self.L), rng))))
 
-    def commit(self, c, dt):
-        """cd = A_g @ digits (NTT form, transposed): [D, W, M] -> [D, W, n]."""
+    #: uint64 words of slot products live per commit block (128 MB) —
+    #: today's bench shapes (n=8, M=9216, W<=16) stay single-block (the
+    #: exact code path r4 measured); larger n*M commitments switch to
+    #: the widened blocked accumulation instead of materializing the
+    #: full [D, W, n, M] product (Matrix.mul_mat pattern)
+    _COMMIT_BUDGET_WORDS = 1 << 24
+
+    def commit(self, c, dt, block: int | None = None):
+        """cd = A_g @ digits (NTT form, transposed): [D, W, M] -> [D, W, n].
+
+        Peak memory is bounded: when the [D, W, n, M] slot-product
+        tensor would exceed ``_COMMIT_BUDGET_WORDS`` uint64 words, the
+        contraction runs M-blocked with exact widened-word accumulation
+        (bit-equal, tested with a forced tiny block)."""
         Agt = jnp.asarray(c["Agt"])
-        if self.ring.E == 1:
-            # slot field == base field: slotwise mul is a field mul
-            prod = self.f.mul(Agt[:, None], dt[:, :, None])
-            return self.f.sum(prod, axis=3)
-        return self.tm.matvec_t(Agt, dt)
+        f = self.f
+        D, W = dt.shape[0], dt.shape[1]
+        if block is None:
+            per = max(1, D * W * self.n * f.n_words)
+            block = max(1, self._COMMIT_BUDGET_WORDS // per)
+        return ntt_matvec(f, self.tm, self.ring.E, Agt, dt, block)
 
     # -- the composed step (call under jit) -------------------------------
     def step(self, c, s0t, s1t, c0t, c1t, rt):

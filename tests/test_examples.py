@@ -34,6 +34,7 @@ EXPECT = {
     "sumcheck.py": "verified = True, tamper rejected",
     "bigring_fold.py": "square exact vs the radix oracle",
     "distributed_prover.py": "sharded sumcheck verified",
+    "folding_tree.py": "REJECT on a tampered digit commitment",
 }
 
 

@@ -95,6 +95,27 @@ def test_folding_step_psi_check_frog():
     assert bool(np.asarray(out["ok_psi"]).all())
 
 
+@pytest.mark.parametrize("name", ["goldilocks", "stark_prime"])
+def test_commit_blocked_accumulation_matches_unblocked(name):
+    """FoldingStep.commit with a forced tiny block (widened-word
+    M-blocked accumulation, the Matrix.mul_mat pattern) is bit-equal to
+    the full [D, W, n, M] product-and-sum path, for both the E > 1
+    matvec_t path and the E == 1 limbed field path."""
+    ring = get_ring(name)
+    base = 65536 if ring.field.limbed else 256
+    fs = FoldingStep(ring, n_rows=3, wit_len=2, base=base)
+    rng = random.Random(77)
+    c = jax.device_put(fs.init_tables(rng))
+    dt = fs.tm.crt_t(fs.tm.to_t(jnp.asarray(np.asarray(
+        ring.rand_coeff((4, fs.M), rng)))))
+    full = np.asarray(jax.jit(
+        lambda c, d: fs.commit(c, d, block=fs.M))(c, dt))
+    for blk in (1, 3, 7):
+        got = np.asarray(jax.jit(
+            lambda c, d: fs.commit(c, d, block=blk))(c, dt))
+        assert (got == full).all(), (name, blk)
+
+
 def test_folding_step_chains():
     """Output shapes feed the next step (the dependent-chain protocol
     shape benchmarks measure)."""
@@ -104,6 +125,64 @@ def test_folding_step_chains():
     out2 = jax.jit(fs.step)(c, out["s"], s1t, out["cd"], c1t, rt)
     assert out2["s"].shape == out["s"].shape
     assert out2["cd"].shape == out["cd"].shape
+
+
+def test_folding_tree_prove_verify_and_tamper():
+    """FoldingTree (protocol/tree.py): 8 goldilocks witnesses fold to
+    one; the host verifier accepts the honest transcript and rejects a
+    tampered folded witness.  psi auto-disables on the non-power-of-two
+    cyclotomic (negative digits honestly fail there)."""
+    from stark_rings_tpu.protocol import FoldingTree
+
+    ring = get_ring("goldilocks")
+    ft = FoldingTree(ring, n_rows=2, wit_len=2, base=8)
+    assert not ft.fs.psi_check
+    rng = random.Random(3)
+    c = jax.device_put(ft.init_tables(rng))
+    W = 8
+    wt = ft.rand_witnesses(W, rng)
+    ct = jax.jit(ft.commit_witnesses)(c, wt)
+    rts = ft.precompute_challenges(
+        [jnp.asarray(ring.rand_coeff((), rng)) for _ in range(3)])
+    levels, rw, rc = jax.jit(
+        lambda c, wt, ct: ft.prove(c, wt, ct, rts))(c, wt, ct)
+    assert rw.shape[1] == 1 and rc.shape[1] == 1
+    assert ft.verify(c, wt, ct, levels, rts)
+    bad = [dict(o) for o in levels]
+    v = np.asarray(bad[0]["s"]).copy()
+    v.reshape(-1)[0] = np.uint64((int(v.reshape(-1)[0]) + 1) % ring.q)
+    bad[0]["s"] = jnp.asarray(v)
+    assert not ft.verify(c, wt, ct, bad, rts)
+
+
+def test_folding_tree_sharded_matches_local():
+    """prove_sharded == prove bit-for-bit: the 16-leaf tree's first
+    level runs witness-sharded on the 8-device mesh (8 pairs), the
+    smaller levels fall back to the local step."""
+    from stark_rings_tpu.parallel import make_mesh
+    from stark_rings_tpu.protocol import FoldingTree
+
+    Pn = 8
+    if len(jax.devices()) < Pn:
+        pytest.skip("not enough devices")
+    ring = get_ring("goldilocks")
+    ft = FoldingTree(ring, n_rows=2, wit_len=2, base=8)
+    rng = random.Random(9)
+    c = jax.device_put(ft.init_tables(rng))
+    W = 16
+    wt = np.asarray(ft.rand_witnesses(W, rng))
+    ct = np.asarray(jax.jit(ft.commit_witnesses)(c, jnp.asarray(wt)))
+    rts = [np.asarray(r) for r in ft.precompute_challenges(
+        [jnp.asarray(ring.rand_coeff((), rng)) for _ in range(4)])]
+    lv_l, rw_l, rc_l = jax.jit(
+        lambda c, wt, ct: ft.prove(c, wt, ct, rts))(c, wt, ct)
+    lv_s, rw_s, rc_s = ft.prove_sharded(make_mesh(Pn), c, wt, ct, rts)
+    assert np.array_equal(np.asarray(rw_l), np.asarray(rw_s))
+    assert np.array_equal(np.asarray(rc_l), np.asarray(rc_s))
+    for ol, os_ in zip(lv_l, lv_s):
+        for key in ol:
+            assert np.array_equal(np.asarray(ol[key]),
+                                  np.asarray(os_[key])), key
 
 
 def test_folding_step_sharded_matches_local():

@@ -86,6 +86,83 @@ def test_sumcheck_verifier_rejects_perturbed_message():
             assert not verify(bad), (i, j)
 
 
+def test_sumcheck_msb_order_is_lsb_on_bit_reversed_tables():
+    """The two binding orders are the same protocol through one
+    permutation: msb-order proving on bit_reverse_table(T) produces
+    exactly the lsb-order messages and finals for T (the identity the
+    Pallas prover's layout rests on)."""
+    from stark_rings_tpu.mle.sumcheck import bit_reverse_table
+
+    nv = 8
+    rng = np.random.default_rng(3)
+    G = jnp.asarray(rng.integers(0, F.q, size=(1 << nv,), dtype=np.uint64))
+    H = jnp.asarray(rng.integers(0, F.q, size=(1 << nv,), dtype=np.uint64))
+    chals = [jnp.asarray(np.uint64(int(v)))
+             for v in rng.integers(0, F.q, size=(nv,), dtype=np.uint64)]
+    m_lsb, g_l, h_l = jax.jit(lambda G, H: sumcheck_prove_with_challenges(
+        F, G, H, chals))(G, H)
+    m_msb, g_m, h_m = jax.jit(lambda G, H: sumcheck_prove_with_challenges(
+        F, bit_reverse_table(G), bit_reverse_table(H), chals,
+        order="msb"))(G, H)
+    assert np.array_equal(np.asarray(m_lsb), np.asarray(m_msb))
+    assert int(g_l) == int(g_m) and int(h_l) == int(h_m)
+
+
+def test_sumcheck_pallas_kernel_matches_oracle():
+    """The one-kernel Pallas prover (mle/pallas_sumcheck.py, interpret
+    mode on CPU) equals the msb-order XLA oracle message-for-message,
+    for 2-ary (nv=12) and 3-ary (nv=13) products, plus the W-batched
+    wrapper."""
+    from stark_rings_tpu.mle.pallas_sumcheck import (
+        sumcheck_prove_batch_goldilocks_pallas,
+        sumcheck_prove_goldilocks_pallas,
+        sumcheck_prove_many_goldilocks_pallas)
+    from stark_rings_tpu.mle.sumcheck import (
+        sumcheck_prove_many_with_challenges)
+
+    rng = np.random.default_rng(9)
+    # (nv=14, chunk=16) forces the multi-chunk accumulator path in both
+    # the streamed round and the in-scratch rounds
+    for nv, k, chunk in ((12, 2, 256), (13, 3, 256), (14, 2, 16)):
+        tables = [jnp.asarray(rng.integers(0, F.q, size=(1 << nv,),
+                                           dtype=np.uint64))
+                  for _ in range(k)]
+        chals = [jnp.asarray(np.uint64(int(v)))
+                 for v in rng.integers(0, F.q, size=(nv,),
+                                       dtype=np.uint64)]
+        want_m, want_f = jax.jit(
+            lambda ts: sumcheck_prove_many_with_challenges(
+                F, ts, chals, order="msb"))(tables)
+        got_m, got_f = jax.jit(
+            lambda ts: sumcheck_prove_many_goldilocks_pallas(
+                ts, chals, chunk=chunk, interpret=True))(tables)
+        assert np.array_equal(np.asarray(want_m), np.asarray(got_m)), (nv, k)
+        for j in range(k):
+            assert int(want_f[j]) == int(got_f[j]), (nv, k, j)
+        if k == 2 and nv == 12:
+            m2, gv, hv = jax.jit(
+                lambda G, H: sumcheck_prove_goldilocks_pallas(
+                    G, H, chals, interpret=True))(tables[0], tables[1])
+            assert np.array_equal(np.asarray(m2), np.asarray(want_m))
+            assert int(gv) == int(want_f[0]) and int(hv) == int(want_f[1])
+
+    # W-batched wrapper == per-claim proofs
+    nv, k, W = 12, 2, 3
+    stk = [jnp.asarray(rng.integers(0, F.q, size=(W, 1 << nv),
+                                    dtype=np.uint64)) for _ in range(k)]
+    chals = [jnp.asarray(np.uint64(int(v)))
+             for v in rng.integers(0, F.q, size=(nv,), dtype=np.uint64)]
+    bm, bf = jax.jit(lambda ts: sumcheck_prove_batch_goldilocks_pallas(
+        ts, chals, interpret=True))(stk)
+    for w in range(W):
+        wm, wf = jax.jit(
+            lambda ts: sumcheck_prove_many_with_challenges(
+                F, ts, chals, order="msb"))([T[w] for T in stk])
+        assert np.array_equal(np.asarray(bm[w]), np.asarray(wm)), w
+        for j in range(k):
+            assert int(bf[j][w]) == int(wf[j]), (w, j)
+
+
 def test_sumcheck_kary_product_soundness_and_completeness():
     """Degree-k product sumcheck (sumcheck_prove_many_with_challenges):
     for k = 2, 3, 4 the messages satisfy the verifier recurrence
