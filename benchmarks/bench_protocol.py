@@ -30,7 +30,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 BUDGET_S = float(os.environ.get("SRT_PROTO_BUDGET_S", "900"))
 DEADLINE = time.monotonic() + BUDGET_S
-ARTIFACT = pathlib.Path(__file__).parent / "PROTO_r04.json"
+ARTIFACT = pathlib.Path(__file__).parent / "PROTO_r05.json"
 
 
 def main():
@@ -156,13 +156,17 @@ def main():
     flush()
 
     # ---- batched psi range check (monomial.rs:82-93 on tensors) --------
+    # r5: ct(psi * X^p) is a precomputed D-entry table gather, not a
+    # D^2 coeff_mul per element — batch and depth sized up so the much
+    # faster path still produces a tens-of-ms differenced signal
     fr = get_ring("frog")
+    Brc = 32768
 
     def build_rc(depth):
         digits = jax.device_put(np.asarray(
             fr.encode_coeffs(np.array([[rng.randrange(-2, 3) % fr.q
                                         for _ in range(fr.D)]
-                                       for _ in range(2048)],
+                                       for _ in range(Brc)],
                                       dtype=object))))
 
         def fn(d):
@@ -175,7 +179,7 @@ def main():
         return jax.jit(fn), (digits,)
 
     try:
-        rate, _ = chain_rate(build_rc, 2048, lo=2, hi=66, reps=3)
+        rate, _ = chain_rate(build_rc, Brc, lo=2, hi=66, reps=3)
         setk("psi_range_check_elems_per_s", round(rate, 1))
     except Exception as exc:  # noqa
         print(f"range-check bench failed: {exc}", file=sys.stderr)
@@ -320,6 +324,74 @@ def main():
         setk("sumcheck20_product_proofs_per_s", None)
     flush()
 
+    # ---- same claim via the one-kernel Pallas prover (r5) --------------
+    # single HBM table read + VMEM rounds + XLA tail; msb binding order
+    # (= the lsb prover on bit-reversed tables, mle/pallas_sumcheck.py).
+    # Exactness: TPUCHECK audits it on chip; e55 measured 2,489 proofs/s
+    # (169x the XLA halving prover).
+    from stark_rings_tpu.mle.pallas_sumcheck import (
+        sumcheck_prove_batch_goldilocks_pallas,
+        sumcheck_prove_goldilocks_pallas)
+
+    def build_sumcheck_pallas(depth):
+        G0 = jax.device_put(nrng.integers(0, f.q, size=(1 << nv_sc,),
+                                          dtype=np.uint64))
+        H0 = jax.device_put(nrng.integers(0, f.q, size=(1 << nv_sc,),
+                                          dtype=np.uint64))
+        chals = [jax.device_put(np.uint64(rng.randrange(f.q)))
+                 for _ in range(nv_sc)]
+
+        def fn(G, H):
+            for _ in range(depth):
+                msgs, gv, hv = sumcheck_prove_goldilocks_pallas(
+                    G, H, chals)
+                G = f.add(G, jnp.broadcast_to(gv, G.shape))
+                H = f.add(H, jnp.broadcast_to(f.add(hv, msgs[0, 0]),
+                                              H.shape))
+            return G
+        return jax.jit(fn), (G0, H0)
+
+    try:
+        # cap: a proof cannot beat its one 16 MB table read at HBM
+        rate, _ = chain_rate(build_sumcheck_pallas, 1, lo=2, hi=18,
+                             reps=3, cap=50_000)
+        setk("sumcheck20_pallas_proofs_per_s", round(rate, 2))
+    except Exception as exc:  # noqa
+        print(f"pallas sumcheck bench failed: {exc}", file=sys.stderr)
+        setk("sumcheck20_pallas_proofs_per_s", None)
+    flush()
+
+    Wsc = 8
+
+    def build_sumcheck_pallas_batch(depth):
+        Gs = jax.device_put(nrng.integers(0, f.q, size=(Wsc, 1 << nv_sc),
+                                          dtype=np.uint64))
+        Hs = jax.device_put(nrng.integers(0, f.q, size=(Wsc, 1 << nv_sc),
+                                          dtype=np.uint64))
+        chals = [jax.device_put(np.uint64(rng.randrange(f.q)))
+                 for _ in range(nv_sc)]
+
+        def fn(Gs, Hs):
+            for _ in range(depth):
+                msgs, (gv, hv) = sumcheck_prove_batch_goldilocks_pallas(
+                    [Gs, Hs], chals)
+                Gs = f.add(Gs, jnp.broadcast_to(gv[:, None], Gs.shape))
+                Hs = f.add(Hs, jnp.broadcast_to(
+                    f.add(hv, msgs[:, 0, 0])[:, None], Hs.shape))
+            return Gs
+        return jax.jit(fn), (Gs, Hs)
+
+    try:
+        rate, _ = chain_rate(build_sumcheck_pallas_batch, Wsc, lo=1,
+                             hi=3, reps=3, cap=50_000 * Wsc)
+        setk(f"sumcheck20_pallas_batchW{Wsc}_proofs_per_s",
+             round(rate, 2))
+    except Exception as exc:  # noqa
+        print(f"pallas batch sumcheck bench failed: {exc}",
+              file=sys.stderr)
+        setk(f"sumcheck20_pallas_batchW{Wsc}_proofs_per_s", None)
+    flush()
+
     # ---- folding combine: w' = c*w + v with a FIXED challenge c --------
     # the LatticeFold-line fold step over deg-2^16 witnesses; c's forward
     # transform is cached once (mul_cached, e50/e51), so each combine is
@@ -364,9 +436,15 @@ def main():
     from stark_rings_tpu.protocol import FoldingStep
 
     Lf, nf = 1024, 8
-    fs = FoldingStep(ring, n_rows=nf, wit_len=Lf, base=256)
+    # psi ON is the measured default since r5: the full LatticeFold-
+    # style step includes its range proof (monomial.rs:79-93), and the
+    # r5 ct-table gather made the check ~free; the nopsi variant stays
+    # for the r04 comparison series
+    fs_psi = FoldingStep(ring, n_rows=nf, wit_len=Lf, base=256,
+                         psi_check=True)
+    fs_nopsi = FoldingStep(ring, n_rows=nf, wit_len=Lf, base=256)
 
-    def build_foldstep_W(Wf):
+    def build_foldstep_W(fs, Wf):
         def build(depth):
             r2 = random.Random(13)
             cP = jax.device_put(fs.init_tables(r2))
@@ -386,6 +464,9 @@ def main():
                     # feed the next step; the L2 check bit perturbs an
                     # operand so no stage can be elided
                     mask = o["ok_l2"].astype(jnp.uint64)[None, :, None]
+                    if fs.psi_check:
+                        mask = mask + o["ok_psi"].astype(
+                            jnp.uint64)[None, :, None]
                     s1 = f.add(s1, mask)
                     s0, c0 = o["s"], o["cd"]
                 return s0
@@ -394,24 +475,66 @@ def main():
 
     # W=8 is the e52 witness-throughput optimum; W=16 kept for the r04
     # comparison series
-    for Wf in (8, 16):
+    for key, fs, Wf in (
+            ("folding_step_composed_psi_W8_L1024_per_s", fs_psi, 8),
+            ("folding_step_composed_psi_W16_L1024_per_s", fs_psi, 16),
+            ("folding_step_composed_W8_L1024_per_s", fs_nopsi, 8)):
         try:
             # physical cap: a step cannot beat its digit-CRT dot alone
             # (W*M elements through a single prescaled dot at <= ~180M
             # elems/s) -> steps/s <= ~2500 at M = 9216 (PERF_NOTES
             # methodology: congestion can deflate, caps stop inflation
             # artifacts from entering the artifact)
-            rate, _ = chain_rate(build_foldstep_W(Wf), Wf, lo=1, hi=5,
-                                 reps=3, cap=2500 * Wf)
-            setk(f"folding_step_composed_W{Wf}_L1024_per_s",
-                 round(rate, 2))
+            rate, _ = chain_rate(build_foldstep_W(fs, Wf), Wf, lo=1,
+                                 hi=5, reps=3, cap=2500 * Wf)
+            setk(key, round(rate, 2))
         except Exception as exc:  # noqa
-            print(f"folding step W={Wf} bench failed: {exc}",
+            print(f"folding step {key} bench failed: {exc}",
                   file=sys.stderr)
-            setk(f"folding_step_composed_W{Wf}_L1024_per_s", None)
+            setk(key, None)
         flush()
-    setk("folding_step_stages",
-         "challenge_fold+icrt+gadget_decompose+l2_check+crt+commit_n8")
+    setk("folding_step_stages", "challenge_fold+icrt+gadget_decompose"
+         "+l2_check+crt+commit_n8+psi_range_check")
+    flush()
+
+    # ---- multi-level folding tree (protocol.FoldingTree, r5) -----------
+    # 16 committed witnesses fold pairwise to one in ONE jit module (4
+    # chained composed steps, W = 8+4+2+1 = 15 step-witnesses); rate in
+    # LEAVES folded per second.  psi is auto-off on goldilocks (non-
+    # power-of-two cyclotomic; examples/folding_tree.py runs the psi-
+    # complete frog tree with a full verifier).
+    from stark_rings_tpu.protocol import FoldingTree
+
+    Wt, Lt = 16, 256
+    ft = FoldingTree(ring, n_rows=nf, wit_len=Lt, base=256)
+
+    def build_tree(depth):
+        r2 = random.Random(29)
+        cT = jax.device_put(ft.init_tables(r2))
+        rts = [jax.device_put(r) for r in ft.precompute_challenges(
+            [jnp.asarray(ring.rand_coeff((), r2))
+             for _ in range(Wt.bit_length() - 1)])]
+        wt = jax.device_put(ft.rand_witnesses(Wt, r2))
+        ct = jax.jit(ft.commit_witnesses)(cT, wt)
+
+        def fn(cT, wt, ct):
+            for _ in range(depth):
+                levels, rw, rc = ft.prove(cT, wt, ct, rts)
+                # dependent chain: the root witness perturbs the leaves
+                wt = f.add(wt, jnp.broadcast_to(rw[:, :1], wt.shape))
+                ct = f.add(ct, jnp.broadcast_to(rc[:, :1], ct.shape))
+            return wt
+        return jax.jit(fn), (cT, wt, ct)
+
+    try:
+        # cap scales from the composed-step cap: a tree folds Wt leaves
+        # through Wt-1 step-witnesses of wit_len Lt = L1024/4
+        rate, _ = chain_rate(build_tree, Wt, lo=1, hi=5, reps=3,
+                             cap=4 * 2500 * Wt)
+        setk(f"folding_tree_W{Wt}_L{Lt}_leaves_per_s", round(rate, 2))
+    except Exception as exc:  # noqa
+        print(f"folding tree bench failed: {exc}", file=sys.stderr)
+        setk(f"folding_tree_W{Wt}_L{Lt}_leaves_per_s", None)
     flush()
 
     line = json.dumps(out)

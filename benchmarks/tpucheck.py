@@ -263,6 +263,58 @@ def run_checks(flush=lambda: None, checks=None):
         record("protocol.FoldingStep.step[composed]", [], False,
                note=f"failed: {type(exc).__name__}: {exc}")
 
+    # ---- one-kernel Pallas sumcheck prover vs the XLA oracle (r5) ------
+    try:
+        from stark_rings_tpu.mle.pallas_sumcheck import (
+            sumcheck_prove_goldilocks_pallas)
+        from stark_rings_tpu.mle.sumcheck import (
+            sumcheck_prove_with_challenges)
+
+        nv_sc = 14
+        Gs = jax.device_put(_rand(rng, (1 << nv_sc,)))
+        Hs = jax.device_put(_rand(rng, (1 << nv_sc,)))
+        ch = [jax.device_put(np.uint64(v))
+              for v in _rand(rng, (nv_sc,))]
+        wm, wg, wh = jax.jit(
+            lambda G, H: sumcheck_prove_with_challenges(
+                F, G, H, ch, order="msb"))(Gs, Hs)
+        gm, gg, gh = jax.jit(
+            lambda G, H: sumcheck_prove_goldilocks_pallas(
+                G, H, ch))(Gs, Hs)
+        ok = (np.array_equal(np.asarray(wm), np.asarray(gm))
+              and int(wg) == int(gg) and int(wh) == int(gh))
+        record("mle.pallas_sumcheck.prove[product]", [1 << nv_sc],
+               bool(ok), note="vs msb-order XLA oracle, all rounds")
+    except Exception as exc:  # noqa: BLE001
+        record("mle.pallas_sumcheck.prove[product]", [], False,
+               note=f"failed: {type(exc).__name__}: {exc}")
+
+    # ---- multi-level folding tree vs its host verifier (r5) ------------
+    try:
+        import random as _random
+
+        from stark_rings_tpu.protocol import FoldingTree
+        from stark_rings_tpu.rings import get_ring as _gr
+
+        fring = _gr("frog")
+        ftr = FoldingTree(fring, n_rows=2, wit_len=2, base=8)
+        rr2 = _random.Random(31)
+        cT = jax.device_put(ftr.init_tables(rr2))
+        wt = ftr.rand_witnesses(4, rr2)
+        ct = jax.jit(ftr.commit_witnesses)(cT, wt)
+        rts = ftr.precompute_challenges(
+            [jnp.asarray(fring.rand_coeff((), rr2)) for _ in range(2)])
+        lvs, rw, rc = jax.jit(
+            lambda c_, w, t: ftr.prove(c_, w, t, rts))(cT, wt, ct)
+        ok = (rw.shape[1] == 1
+              and ftr.verify(cT, wt, ct, lvs, rts)
+              and bool(np.asarray(lvs[0]["ok_psi"]).all()))
+        record("protocol.FoldingTree.prove[4->1,psi]", [4, 2],
+               bool(ok), note="host verifier accepts, psi live")
+    except Exception as exc:  # noqa: BLE001
+        record("protocol.FoldingTree.prove[4->1,psi]", [], False,
+               note=f"failed: {type(exc).__name__}: {exc}")
+
     # ---- heavy big-degree fused multiplies LAST (budget-guarded): their
     # remote compiles dominate the audit's wall clock ---------------------
     try:
@@ -305,7 +357,7 @@ def main():
         pass
 
     t0 = time.time()
-    dst = sys.argv[1] if len(sys.argv) > 1 else "TPUCHECK_r04.json"
+    dst = sys.argv[1] if len(sys.argv) > 1 else "TPUCHECK_r05.json"
     checks = []
 
     def summarize(partial):
