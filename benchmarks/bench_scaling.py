@@ -135,5 +135,117 @@ def main(N=1 << 20, counts=(1, 2, 4, 8), batch=2):
         art.write_text("\n".join(json.dumps(r) for r in records) + "\n")
 
 
+def shardcompute(N=1 << 20, counts=(1, 2, 4, 8), B=8):
+    """Anchor the ICI model's COMPUTE term on the real chip.
+
+    The analytic multi-chip model (PERF_NOTES "Multi-chip") previously
+    divided a whole-chip measurement by P; this measures the ACTUAL
+    P-shard local stage shapes — column twist+NTT+twiddle at
+    [B, N1, N2/P] and row NTT at [B, N1/P, N2] — as in-module
+    depth-differenced chains on the attached chip, so shard-shape
+    effects (narrower lane tiles at larger P) are in the number, and
+    publishes predicted efficiency = ideal / (measured-local +
+    modeled-ICI) per P for the 1-D-ring and torus ICI bounds.
+
+    Run on the REAL chip:  python benchmarks/bench_scaling.py --shardcompute
+    Artifact: benchmarks/SHARDCOMPUTE_r05.json
+    """
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    from bench import chain_rate, setup_jax_cache
+    from stark_rings_tpu.fields import get_field
+    from stark_rings_tpu.parallel import ShardedNTT
+
+    setup_jax_cache()
+    f = get_field("goldilocks")
+    rng = np.random.default_rng(5)
+    out = {"device": str(jax.devices()[0]), "deg": N, "batch": B,
+           "per_p": {}}
+    art = pathlib.Path(__file__).parent / "SHARDCOMPUTE_r05.json"
+
+    # modeled ICI per MUL (PERF_NOTES): 1-D bidirectional ring carries
+    # A/8 bytes per link per direction per transform independent of P
+    # (A = 8 MB at deg 2^20, u64), 3 transforms/mul, ~100 GB/s per link
+    # per direction on v5p -> 30 us; a 2-D/3-D torus embedding divides
+    # by the extra dims -> ~10 us
+    ICI_RING_S, ICI_TORUS_S = 30e-6, 10e-6
+
+    t_single = None
+    for Pn in counts:
+        sn = ShardedNTT("goldilocks", N, Pn)
+        sn.consts()
+        # shard-0 constants: the per-shard compute COST is identical on
+        # every shard (same shapes, different constant values)
+        sn._col_ofs = lambda: jnp.int64(0)
+        N1, N2 = sn.N1, sn.N2
+        C, R1 = N2 // Pn, N1 // Pn
+
+        def build_pre(depth, sn=sn, N1=N1, C=C):
+            x = jax.device_put(rng.integers(0, f.q, size=(B, N1, C),
+                                            dtype=np.uint64))
+
+            def fn(x):
+                for _ in range(depth):
+                    x = sn._pre_transpose(x)
+                return x
+            return jax.jit(fn), (x,)
+
+        def build_rows(depth, sn=sn, R1=R1, N2=N2):
+            y = jax.device_put(rng.integers(0, f.q, size=(B, R1, N2),
+                                            dtype=np.uint64))
+
+            def fn(y):
+                for _ in range(depth):
+                    y = sn._apply_on_axis(sn._local_fns()[2], y, 1)
+                return y
+            return jax.jit(fn), (y,)
+
+        def build_pw(depth, R1=R1, N2=N2):
+            ya = jax.device_put(rng.integers(0, f.q, size=(B, R1, N2),
+                                            dtype=np.uint64))
+            yb = jax.device_put(rng.integers(0, f.q, size=(B, R1, N2),
+                                            dtype=np.uint64))
+
+            def fn(ya, yb):
+                for _ in range(depth):
+                    ya = f.mul(ya, yb)
+                return ya
+            return jax.jit(fn), (ya, yb)
+
+        rec = {}
+        for key, build, lo, hi in (("pre_col_stage", build_pre, 1, 5),
+                                   ("row_stage", build_rows, 1, 5),
+                                   ("pointwise", build_pw, 2, 18)):
+            rate, _ = chain_rate(build, B, lo=lo, hi=hi, reps=3)
+            rec[key + "_us_per_elem"] = round(1e6 / rate, 2)
+        # per-element local mul time at this shard shape: 3 transforms
+        # (fwd a, fwd b, inverse — same stage structure) + pointwise
+        t_local = 3 * (rec["pre_col_stage_us_per_elem"]
+                       + rec["row_stage_us_per_elem"]) * 1e-6 \
+            + rec["pointwise_us_per_elem"] * 1e-6
+        rec["local_mul_us_per_elem"] = round(t_local * 1e6, 1)
+        if Pn == counts[0]:
+            t_single = t_local
+        ideal = t_single / Pn
+        rec["compute_scaling"] = round(ideal / t_local, 4)
+        rec["pred_efficiency_ring"] = round(
+            ideal / (t_local + ICI_RING_S), 4)
+        rec["pred_efficiency_torus"] = round(
+            ideal / (t_local + ICI_TORUS_S), 4)
+        rec["pred_efficiency_overlap"] = round(
+            ideal / max(t_local, ICI_RING_S), 4)
+        out["per_p"][str(Pn)] = rec
+        print(json.dumps({"P": Pn, **rec}), flush=True)
+        art.write_text(json.dumps(out) + "\n")
+    print(json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--shardcompute" in sys.argv:
+        shardcompute()
+    else:
+        main()

@@ -83,12 +83,19 @@ class ShardedNTT:
         # ONE Pallas remote-copy kernel (parallel/pallas_exchange)
         # overlapping per-block twiddle compute with the ICI transfer —
         # the SNIPPETS.md pattern; both directions (forward AND inverse,
-        # so mul / mul_cached / square ride it end to end), goldilocks
-        # only (the fused twiddle is the u32-pair modmul).
+        # so mul / mul_cached / square ride it end to end), for every
+        # field with an in-kernel storage-form modmul (goldilocks
+        # u32-pair, babybear u32 Montgomery — EXCHANGE_FIELDS).
         assert exchange in ("xla", "pallas")
         if exchange == "pallas":
-            assert field_name == "goldilocks", \
-                "pallas exchange is goldilocks-only (u32-pair modmul)"
+            from .pallas_exchange import EXCHANGE_FIELDS
+
+            assert field_name in EXCHANGE_FIELDS, (
+                "pallas exchange needs an in-kernel storage-form modmul"
+                f" (have: {sorted(EXCHANGE_FIELDS)}); the limbed"
+                " stark_prime keeps the XLA collective (PERF_NOTES"
+                " records the assessment), frog has no power-of-two"
+                " sharded path (2-adicity 3)")
         self.exchange = exchange
         self.exchange_interpret = exchange_interpret
 
@@ -226,7 +233,8 @@ class ShardedNTT:
             assert x.ndim in (2, 3), \
                 "pallas exchange handles [N1, C] or [B, N1, C]"
             x = twiddle_exchange_fwd(x, T, self.P, axis=self.axis,
-                                     interpret=self.exchange_interpret)
+                                     interpret=self.exchange_interpret,
+                                     field=self.f.name)
         else:
             x = f.mul(x, T)
             # transpose via all_to_all: [.., N1, C] -> [.., N1/P, N2]
@@ -308,7 +316,8 @@ class ShardedNTT:
             assert y.ndim in (2, 3), \
                 "pallas exchange handles [R1, N2] or [B, R1, N2]"
             y = twiddle_exchange_inv(y, Ti, self.P, axis=self.axis,
-                                     interpret=self.exchange_interpret)
+                                     interpret=self.exchange_interpret,
+                                     field=self.f.name)
         else:
             y = f.mul(y, Ti)
             # transpose back: [.., N1/P, N2] -> [.., N1, C]

@@ -8,24 +8,36 @@ while block (s-1) is already in flight on ICI — compute/communication
 overlap at the kernel level, the thing XLA's collective scheduler cannot
 express for this dataflow (the twiddle feeds the exchange elementwise).
 
-Both directions, Goldilocks only (the fused twiddle is the u32-pair
-modmul; fields whose modmul has no u32-pair kernel keep the XLA
-collective) — `ShardedNTT(..., exchange="pallas")` routes the forward,
-inverse and (through them) the cached-operand paths through it.
-Validated for bit-exactness against the XLA path on the CPU mesh via
-the distributed interpret mode (`pltpu.InterpretParams`); the overlap
+Both directions, plane-count generic: a field plugs in as (number of
+u32 storage planes, plane-tuple modmul).  Wired up:
+
+  * goldilocks — 2 planes (u64 canonical as lo/hi u32), `_mul_q`;
+  * babybear   — 1 plane (u32 Montgomery storage; `_bb_mont_mul` IS the
+    field's `mul` on that storage, so the twiddle table is used as-is).
+
+frog has no sharded power-of-two path at all (2-adicity of q-1 is 3),
+and the 8-limb stark_prime keeps the XLA collective: its exchange is
+already 8 u32 planes of traffic and its twiddle is a CIOS multiply that
+the limbed four-step applies through the MXU digit path — fusing it
+into a VPU send loop would re-implement the slowest formulation of its
+most expensive op (PERF_NOTES "Multi-chip" records the assessment).
+
+`ShardedNTT(..., exchange="pallas")` routes the forward, inverse and
+(through them) the cached-operand paths through this kernel.  Validated
+for bit-exactness against the XLA path on the CPU mesh via the
+distributed interpret mode (`pltpu.InterpretParams`); the overlap
 itself only materializes on real ICI.
 
 Dataflow per device (P devices, R1 = N1/P, C = N2/P, batch B):
 
-    in   x  [B*N1, C]   u32 lo/hi planes   (post column-NTT)
-    in   tw [N1,  C]    u32 lo/hi planes   (omega^(k1_leaf * n2), local cols)
-    out  y  [B*R1, N2]  u32 lo/hi planes   (post twiddle + transpose)
+    in   x  [B*N1, C]   u32 plane(s)   (post column-NTT)
+    in   tw [N1,  C]    u32 plane(s)   (omega^(k1_leaf * n2), local cols)
+    out  y  [B*R1, N2]  u32 plane(s)   (post twiddle + transpose)
 
     for s in 0..P:  d = (my + s) % P               # destination device
       for b in 0..B:
         DMA x block (rows b*N1 + d*R1 .. +R1) HBM -> VMEM
-        twiddle it (mul_q with tw rows d*R1 .. +R1)
+        twiddle it (field modmul with tw rows d*R1 .. +R1)
         remote-copy VMEM -> device d's y at (rows b*R1.., cols my*C..)
     wait all sends + all P*B incoming blocks (per-step recv semaphores)
 """
@@ -42,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.pallas_goldilocks import _mul_q
 
-__all__ = ["twiddle_exchange_fwd", "twiddle_exchange_inv"]
+__all__ = ["twiddle_exchange_fwd", "twiddle_exchange_inv",
+           "EXCHANGE_FIELDS"]
 
 _ANY = pl.BlockSpec(memory_space=pl.ANY)
 _VMEM = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -52,7 +65,25 @@ def _i32(x):
     return jnp.int32(x) if isinstance(x, int) else x
 
 
-def _make_kernel(P, B, N1, C, axis, forward=True):
+def _mul_gl(a, b):
+    return _mul_q(a[0], a[1], b[0], b[1])
+
+
+def _mul_bb(a, b):
+    from ..ops.pallas_fold_bb import _bb_mont_mul
+
+    return (_bb_mont_mul(a[0], b[0]),)
+
+
+#: field name -> (u32 planes per element, plane-tuple modmul on the
+#: field's STORAGE form)
+EXCHANGE_FIELDS = {
+    "goldilocks": (2, _mul_gl),
+    "babybear": (1, _mul_bb),
+}
+
+
+def _make_kernel(P, B, N1, C, axis, NP, mulfn, forward=True):
     """Twiddle-fused transpose-exchange kernel, either direction.
 
     forward: x [B*N1, C] -> out [B*R1, N2] (split rows, concat cols)
@@ -60,8 +91,11 @@ def _make_kernel(P, B, N1, C, axis, forward=True):
     Block shape is [R1, C] both ways; only the slice maps differ."""
     R1 = N1 // P
 
-    def kern(xlo, xhi, twlo, twhi, olo, ohi,
-             vin, vout, in_sem, send_sem, recv_sem):
+    def kern(*refs):
+        xs = refs[:NP]                       # input planes (HBM)
+        tws = refs[NP:2 * NP]                # twiddle planes (VMEM)
+        outs = refs[2 * NP:3 * NP]           # output planes (HBM)
+        vin, vout, in_sem, send_sem, recv_sem = refs[3 * NP:]
         my = lax.axis_index(axis).astype(jnp.int32)
 
         # full barrier: every device must have entered (and thus have its
@@ -85,41 +119,30 @@ def _make_kernel(P, B, N1, C, axis, forward=True):
             """remote copies of vout[slot] -> device d's output block."""
             d = lax.rem(my + jnp.int32(s), jnp.int32(P))
             rows, cols = out_slices(b, my)
-            return (
+            return tuple(
                 pltpu.make_async_remote_copy(
-                    src_ref=vout.at[slot, _i32(0)],
-                    dst_ref=olo.at[rows, cols],
-                    send_sem=send_sem.at[slot, _i32(0)],
-                    recv_sem=recv_sem.at[_i32(s), _i32(0)],
+                    src_ref=vout.at[slot, _i32(p)],
+                    dst_ref=outs[p].at[rows, cols],
+                    send_sem=send_sem.at[slot, _i32(p)],
+                    recv_sem=recv_sem.at[_i32(s), _i32(p)],
                     device_id=(d,),
-                    device_id_type=pltpu.DeviceIdType.MESH),
-                pltpu.make_async_remote_copy(
-                    src_ref=vout.at[slot, _i32(1)],
-                    dst_ref=ohi.at[rows, cols],
-                    send_sem=send_sem.at[slot, _i32(1)],
-                    recv_sem=recv_sem.at[_i32(s), _i32(1)],
-                    device_id=(d,),
-                    device_id_type=pltpu.DeviceIdType.MESH),
-            )
+                    device_id_type=pltpu.DeviceIdType.MESH)
+                for p in range(NP))
 
         def in_copies(s, b, slot):
             d = lax.rem(my + jnp.int32(s), jnp.int32(P))
             if forward:
-                src0 = xlo.at[pl.ds(_i32(b) * jnp.int32(N1)
+                srcs = [xp.at[pl.ds(_i32(b) * jnp.int32(N1)
                                     + d * jnp.int32(R1), R1)]
-                src1 = xhi.at[pl.ds(_i32(b) * jnp.int32(N1)
-                                    + d * jnp.int32(R1), R1)]
+                        for xp in xs]
             else:
                 rows = pl.ds(_i32(b * R1), R1)
                 cols = pl.ds(d * jnp.int32(C), C)
-                src0 = xlo.at[rows, cols]
-                src1 = xhi.at[rows, cols]
-            return (
-                pltpu.make_async_copy(src0, vin.at[slot, _i32(0)],
-                                      in_sem.at[slot, _i32(0)]),
-                pltpu.make_async_copy(src1, vin.at[slot, _i32(1)],
-                                      in_sem.at[slot, _i32(1)]),
-            )
+                srcs = [xp.at[rows, cols] for xp in xs]
+            return tuple(
+                pltpu.make_async_copy(srcs[p], vin.at[slot, _i32(p)],
+                                      in_sem.at[slot, _i32(p)])
+                for p in range(NP))
 
         steps = [(s, b) for s in range(P) for b in range(B)]
         for cp in in_copies(*steps[0], 0):
@@ -138,14 +161,14 @@ def _make_kernel(P, B, N1, C, axis, forward=True):
             d = lax.rem(my + jnp.int32(s), jnp.int32(P))
             if forward:
                 trow = pl.ds(d * jnp.int32(R1), R1)
-                tlo, thi = twlo[trow], twhi[trow]
+                tps = tuple(tp[trow] for tp in tws)
             else:
                 tcol = pl.ds(d * jnp.int32(C), C)
-                tlo, thi = twlo[:, tcol], twhi[:, tcol]
-            plo, phi = _mul_q(vin[slot, _i32(0)], vin[slot, _i32(1)],
-                              tlo, thi)
-            vout[slot, _i32(0)] = plo
-            vout[slot, _i32(1)] = phi
+                tps = tuple(tp[:, tcol] for tp in tws)
+            prod = mulfn(tuple(vin[slot, _i32(p)] for p in range(NP)),
+                         tps)
+            for p in range(NP):
+                vout[slot, _i32(p)] = prod[p]
             for cp in send_descs(s, b, slot):
                 cp.start()
         for it in range(max(0, len(steps) - 2), len(steps)):
@@ -159,32 +182,72 @@ def _make_kernel(P, B, N1, C, axis, forward=True):
             src = lax.rem(my - jnp.int32(s) + jnp.int32(P), jnp.int32(P))
             for b in range(B):
                 rows, cols = out_slices(b, src)
-                pltpu.make_async_remote_copy(
-                    src_ref=vout.at[_i32(0), _i32(0)],
-                    dst_ref=olo.at[rows, cols],
-                    send_sem=send_sem.at[_i32(0), _i32(0)],
-                    recv_sem=recv_sem.at[_i32(s), _i32(0)],
-                    device_id=(my,),
-                    device_id_type=pltpu.DeviceIdType.MESH).wait_recv()
-                pltpu.make_async_remote_copy(
-                    src_ref=vout.at[_i32(0), _i32(1)],
-                    dst_ref=ohi.at[rows, cols],
-                    send_sem=send_sem.at[_i32(0), _i32(1)],
-                    recv_sem=recv_sem.at[_i32(s), _i32(1)],
-                    device_id=(my,),
-                    device_id_type=pltpu.DeviceIdType.MESH).wait_recv()
+                for p in range(NP):
+                    pltpu.make_async_remote_copy(
+                        src_ref=vout.at[_i32(0), _i32(p)],
+                        dst_ref=outs[p].at[rows, cols],
+                        send_sem=send_sem.at[_i32(0), _i32(p)],
+                        recv_sem=recv_sem.at[_i32(s), _i32(p)],
+                        device_id=(my,),
+                        device_id_type=pltpu.DeviceIdType.MESH).wait_recv()
 
     return kern
 
 
+def _planes_of(x, NP):
+    """storage tensor -> list of NP u32 plane arrays (free bitcasts)."""
+    if NP == 1:
+        assert x.dtype == jnp.uint32
+        return [x]
+    v = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return [v[..., p] for p in range(NP)]
+
+
+def _from_planes(planes):
+    if len(planes) == 1:
+        return planes[0]
+    return jax.lax.bitcast_convert_type(
+        jnp.stack(planes, axis=-1), jnp.uint64)
+
+
+def _exchange(x2, tw, P, axis, interpret, collective_id, field,
+              forward, R1, C, N1, N2, B, out_rows, out_cols):
+    NP, mulfn = EXCHANGE_FIELDS[field]
+    xp = _planes_of(x2, NP)
+    tp = _planes_of(tw, NP)
+    kern = _make_kernel(P, B, N1, C, axis, NP, mulfn, forward=forward)
+    out_shape = tuple(jax.ShapeDtypeStruct((out_rows, out_cols),
+                                           jnp.uint32)
+                      for _ in range(NP))
+    pcall = pl.pallas_call(
+        kern,
+        in_specs=[_ANY] * NP + [_VMEM] * NP,
+        out_specs=(_ANY,) * NP,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, NP, R1, C), jnp.uint32),   # vin slots
+            pltpu.VMEM((2, NP, R1, C), jnp.uint32),   # vout slots
+            pltpu.SemaphoreType.DMA((2, NP)),          # in
+            pltpu.SemaphoreType.DMA((2, NP)),          # send
+            pltpu.SemaphoreType.DMA((P, NP)),          # recv (per step)
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
+    )
+    outs = pcall(*xp, *tp)
+    return _from_planes(list(outs) if NP > 1 else [outs[0]])
+
+
 def twiddle_exchange_fwd(x, tw, P, axis="x", interpret=False,
-                         collective_id=7):
+                         collective_id=7, field="goldilocks"):
     """Fused (mid-twiddle * x) + transpose-exchange, forward direction.
 
-    x:  u64 [B, N1, C] (or [N1, C]) — this device's column shard after
-        the column NTT stage.
-    tw: u64 [N1, C] — omega^(k1_leaf * n2) for this device's columns.
-    Returns u64 [B, N1/P, N2] (batch axis preserved), i.e. exactly
+    x:  storage [B, N1, C] (or [N1, C]) — this device's column shard
+        after the column NTT stage.
+    tw: storage [N1, C] — omega^(k1_leaf * n2) for this device's
+        columns (the field's storage form: the in-kernel modmul IS the
+        field's `mul` on that form).
+    Returns storage [B, N1/P, N2] (batch axis preserved), i.e. exactly
     ``all_to_all(f.mul(x, tw), split rows, concat cols)``.
 
     Must be called INSIDE shard_map over a 1-D mesh axis of size P.
@@ -195,42 +258,22 @@ def twiddle_exchange_fwd(x, tw, P, axis="x", interpret=False,
     B, N1, C = x.shape
     R1 = N1 // P
     N2 = C * P
-    xv = jax.lax.bitcast_convert_type(x.reshape(B * N1, C), jnp.uint32)
-    tv = jax.lax.bitcast_convert_type(tw, jnp.uint32)
-    kern = _make_kernel(P, B, N1, C, axis)
-    out_shape = (jax.ShapeDtypeStruct((B * R1, N2), jnp.uint32),
-                 jax.ShapeDtypeStruct((B * R1, N2), jnp.uint32))
-    pcall = pl.pallas_call(
-        kern,
-        in_specs=[_ANY, _ANY, _VMEM, _VMEM],
-        out_specs=(_ANY, _ANY),
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, R1, C), jnp.uint32),   # vin slots (lo, hi)
-            pltpu.VMEM((2, 2, R1, C), jnp.uint32),   # vout slots
-            pltpu.SemaphoreType.DMA((2, 2)),          # in
-            pltpu.SemaphoreType.DMA((2, 2)),          # send
-            pltpu.SemaphoreType.DMA((P, 2)),          # recv (per step)
-        ],
-        interpret=pltpu.InterpretParams() if interpret else False,
-        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
-    )
-    lo, hi = pcall(xv[..., 0], xv[..., 1], tv[..., 0], tv[..., 1])
-    y = jax.lax.bitcast_convert_type(
-        jnp.stack([lo, hi], axis=-1), jnp.uint64)
+    y = _exchange(x.reshape(B * N1, C), tw, P, axis, interpret,
+                  collective_id, field, True, R1, C, N1, N2, B,
+                  B * R1, N2)
     y = y.reshape(B, R1, N2)
     return y[0] if squeeze else y
 
 
 def twiddle_exchange_inv(y, tw, P, axis="x", interpret=False,
-                         collective_id=8):
+                         collective_id=8, field="goldilocks"):
     """Fused (y * inverse-twiddle) + transpose-exchange, inverse
     direction of the four-step transform.
 
-    y:  u64 [B, R1, N2] (or [R1, N2]) — this device's row shard after
-        the inverse row NTT (R1 = N1/P).
-    tw: u64 [R1, N2] — omega^(-k1_local * n2) for this device's rows.
-    Returns u64 [B, N1, C] (batch preserved), i.e. exactly
+    y:  storage [B, R1, N2] (or [R1, N2]) — this device's row shard
+        after the inverse row NTT (R1 = N1/P).
+    tw: storage [R1, N2] — omega^(-k1_local * n2) for this device's rows.
+    Returns storage [B, N1, C] (batch preserved), i.e. exactly
     ``all_to_all(f.mul(y, tw), split cols, concat rows)``.
 
     Must be called INSIDE shard_map over a 1-D mesh axis of size P.
@@ -241,28 +284,8 @@ def twiddle_exchange_inv(y, tw, P, axis="x", interpret=False,
     B, R1, N2 = y.shape
     N1 = R1 * P
     C = N2 // P
-    yv = jax.lax.bitcast_convert_type(y.reshape(B * R1, N2), jnp.uint32)
-    tv = jax.lax.bitcast_convert_type(tw, jnp.uint32)
-    kern = _make_kernel(P, B, N1, C, axis, forward=False)
-    out_shape = (jax.ShapeDtypeStruct((B * N1, C), jnp.uint32),
-                 jax.ShapeDtypeStruct((B * N1, C), jnp.uint32))
-    pcall = pl.pallas_call(
-        kern,
-        in_specs=[_ANY, _ANY, _VMEM, _VMEM],
-        out_specs=(_ANY, _ANY),
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, R1, C), jnp.uint32),   # vin slots (lo, hi)
-            pltpu.VMEM((2, 2, R1, C), jnp.uint32),   # vout slots
-            pltpu.SemaphoreType.DMA((2, 2)),          # in
-            pltpu.SemaphoreType.DMA((2, 2)),          # send
-            pltpu.SemaphoreType.DMA((P, 2)),          # recv (per step)
-        ],
-        interpret=pltpu.InterpretParams() if interpret else False,
-        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
-    )
-    lo, hi = pcall(yv[..., 0], yv[..., 1], tv[..., 0], tv[..., 1])
-    out = jax.lax.bitcast_convert_type(
-        jnp.stack([lo, hi], axis=-1), jnp.uint64)
+    out = _exchange(y.reshape(B * R1, N2), tw, P, axis, interpret,
+                    collective_id, field, False, R1, C, N1, N2, B,
+                    B * N1, C)
     out = out.reshape(B, N1, C)
     return out[0] if squeeze else out

@@ -278,7 +278,7 @@ def test_sharded_mxu_local_overlap_matches():
     assert np.array_equal(plain, ov)
 
 
-def _pallas_vs_xla(Pn=8, N=1 << 8, B=2):
+def _pallas_vs_xla(Pn=8, N=1 << 8, B=2, field="goldilocks"):
     import jax
     import numpy as np
     from stark_rings_tpu.fields import get_field
@@ -287,27 +287,30 @@ def _pallas_vs_xla(Pn=8, N=1 << 8, B=2):
     if len(jax.devices()) < Pn:
         import pytest
         pytest.skip("not enough devices")
-    f = get_field("goldilocks")
+    f = get_field(field)
     rng = np.random.default_rng(12)
     mesh = make_mesh(Pn)
-    sx = ShardedNTT("goldilocks", N, Pn)
-    sp = ShardedNTT("goldilocks", N, Pn, exchange="pallas",
+    sx = ShardedNTT(field, N, Pn)
+    sp = ShardedNTT(field, N, Pn, exchange="pallas",
                     exchange_interpret=True)
-    a = sx.to_matrix(rng.integers(0, f.q, size=(B, N), dtype=np.uint64))
-    b = sx.to_matrix(rng.integers(0, f.q, size=(B, N), dtype=np.uint64))
+    dt = np.uint32 if field == "babybear" else np.uint64
+    a = sx.to_matrix(rng.integers(0, f.q, size=(B, N), dtype=dt))
+    b = sx.to_matrix(rng.integers(0, f.q, size=(B, N), dtype=dt))
     return f, mesh, sx, sp, a, b, rng, N
 
 
-def test_pallas_exchange_matches_xla_collective():
+@pytest.mark.parametrize("field", ["goldilocks", "babybear"])
+def test_pallas_exchange_matches_xla_collective(field):
     """The Pallas remote-copy exchange (twiddle fused into the send
     loop, parallel/pallas_exchange.py) is bit-exact vs the XLA
     all_to_all path — forward AND inverse, via the distributed
-    interpret mode on the CPU mesh.  (N = 2^8, B = 2: interpret-mode
-    remote-DMA is python-loop slow; the slice/semaphore logic is
-    size-independent.)"""
+    interpret mode on the CPU mesh, for both wired fields (goldilocks
+    2-plane u32-pair modmul, babybear 1-plane u32 Montgomery).
+    (N = 2^8, B = 2: interpret-mode remote-DMA is python-loop slow;
+    the slice/semaphore logic is size-independent.)"""
     import numpy as np
 
-    f, mesh, sx, sp, a, b, rng, N = _pallas_vs_xla()
+    f, mesh, sx, sp, a, b, rng, N = _pallas_vs_xla(field=field)
     fx, ix, _ = sx.make_fns(mesh, batch_ndim=1, overlap=False)
     fp, ip, _ = sp.make_fns(mesh, batch_ndim=1, overlap=False)
     assert (np.asarray(fx(a)) == np.asarray(fp(a))).all()
