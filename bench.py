@@ -203,9 +203,21 @@ def chain_rate(build, B, lo=2, hi=6, reps=3, cap=None):
             tlos.append(tl)
             this_.append(th)
         diffs.sort()
-        return diffs[(len(diffs) - 1) // 2], min(tlos), min(this_)
+        n = len(diffs)
+        quart = (diffs[max(0, (n - 1) // 4)],
+                 diffs[min(n - 1, (3 * (n - 1) + 3) // 4)])
+        return diffs[(n - 1) // 2], quart, min(tlos), min(this_)
 
-    d, tlo, thi = measure(reps)
+    def band(quart):
+        """Paired-diff IQR -> a [low, high] rate band (None where a
+        quartile diff is nonpositive — jitter swamped that tail)."""
+        out = []
+        for dq in reversed(quart):      # large diff -> low rate
+            pm = dq / (hi - lo)
+            out.append(round(B / pm, 1) if pm > 0 else None)
+        return out
+
+    d, quart, tlo, thi = measure(reps)
     per_mul = d / (hi - lo)
     if per_mul <= 0:       # tunnel jitter swamped the diff; be honest
         per_mul = thi / hi
@@ -213,12 +225,13 @@ def chain_rate(build, B, lo=2, hi=6, reps=3, cap=None):
     if cap is not None and rate > cap:
         print(f"chain_rate {rate:.0f}/s exceeds the physical cap "
               f"{cap:.0f}/s; remeasuring", file=sys.stderr)
-        d, tlo, thi = measure(max(reps, 5))
+        d, quart, tlo, thi = measure(max(reps, 5))
         per_mul = d / (hi - lo)
         if per_mul <= 0 or B / per_mul > cap:
             per_mul = thi / hi   # conservative: includes dispatch cost
         rate = B / per_mul
-    return rate, {lo: tlo, hi: thi}
+    return rate, {lo: tlo, hi: thi, "reps": reps,
+                  "iqr_rate_band": band(quart)}
 
 
 def tunnel_roundtrip_ms():
@@ -311,10 +324,11 @@ def sec_headline(st):
     # cap: the per-stage budget floor is ~45 us/element => <= ~22k
     # mults/s conceivable on this chip (PERF_NOTES); anything above
     # 30k is a congested-window measurement artifact
-    rate, _ = chain_rate(build, B, lo=2, hi=8, reps=4, cap=30_000)
+    rate, info = chain_rate(build, B, lo=2, hi=8, reps=4, cap=30_000)
     N = st.N
     put(value=round(rate, 3),
         value_first=round(rate, 3),
+        value_iqr_band=info.get("iqr_rate_band"),
         vs_baseline=round(rate / 5e8, 9),
         path="mxu2_pallas_single",
         batch=B,
@@ -341,8 +355,9 @@ def sec_headline_resample(st):
             return x
         return jax.jit(fn), (c, a, bs)
 
-    rate, _ = chain_rate(build, B, lo=2, hi=8, reps=4, cap=30_000)
-    put(value_last=round(rate, 3))
+    rate, info = chain_rate(build, B, lo=2, hi=8, reps=4, cap=30_000)
+    put(value_last=round(rate, 3),
+        value_last_iqr_band=info.get("iqr_rate_band"))
     _merge_path_rate("mxu2_pallas_single", B, rate)
     return rate
 

@@ -131,7 +131,7 @@ def main(N=1 << 20, counts=(1, 2, 4, 8), batch=2):
         print(json.dumps(rec))
         import pathlib
 
-        art = pathlib.Path(__file__).parent / "SCALING_r04.json"
+        art = pathlib.Path(__file__).parent / "SCALING_r05.json"
         art.write_text("\n".join(json.dumps(r) for r in records) + "\n")
 
 
@@ -183,9 +183,13 @@ def shardcompute(N=1 << 20, counts=(1, 2, 4, 8), B=8):
         sn._col_ofs = lambda: jnp.int64(0)
         N1, N2 = sn.N1, sn.N2
         C, R1 = N2 // Pn, N1 // Pn
+        # scale the batch with P so the differenced signal stays tens of
+        # ms as per-shard work shrinks (B=8 at P=8 produced sub-ms
+        # signals that tunnel jitter swamped — non-monotonic garbage)
+        Bp = min(B * Pn, 64)
 
-        def build_pre(depth, sn=sn, N1=N1, C=C):
-            x = jax.device_put(rng.integers(0, f.q, size=(B, N1, C),
+        def build_pre(depth, sn=sn, N1=N1, C=C, Bp=Bp):
+            x = jax.device_put(rng.integers(0, f.q, size=(Bp, N1, C),
                                             dtype=np.uint64))
 
             def fn(x):
@@ -194,8 +198,8 @@ def shardcompute(N=1 << 20, counts=(1, 2, 4, 8), B=8):
                 return x
             return jax.jit(fn), (x,)
 
-        def build_rows(depth, sn=sn, R1=R1, N2=N2):
-            y = jax.device_put(rng.integers(0, f.q, size=(B, R1, N2),
+        def build_rows(depth, sn=sn, R1=R1, N2=N2, Bp=Bp):
+            y = jax.device_put(rng.integers(0, f.q, size=(Bp, R1, N2),
                                             dtype=np.uint64))
 
             def fn(y):
@@ -204,10 +208,10 @@ def shardcompute(N=1 << 20, counts=(1, 2, 4, 8), B=8):
                 return y
             return jax.jit(fn), (y,)
 
-        def build_pw(depth, R1=R1, N2=N2):
-            ya = jax.device_put(rng.integers(0, f.q, size=(B, R1, N2),
+        def build_pw(depth, R1=R1, N2=N2, Bp=Bp):
+            ya = jax.device_put(rng.integers(0, f.q, size=(Bp, R1, N2),
                                             dtype=np.uint64))
-            yb = jax.device_put(rng.integers(0, f.q, size=(B, R1, N2),
+            yb = jax.device_put(rng.integers(0, f.q, size=(Bp, R1, N2),
                                             dtype=np.uint64))
 
             def fn(ya, yb):
@@ -216,11 +220,19 @@ def shardcompute(N=1 << 20, counts=(1, 2, 4, 8), B=8):
                 return ya
             return jax.jit(fn), (ya, yb)
 
-        rec = {}
-        for key, build, lo, hi in (("pre_col_stage", build_pre, 1, 5),
-                                   ("row_stage", build_rows, 1, 5),
-                                   ("pointwise", build_pw, 2, 18)):
-            rate, _ = chain_rate(build, B, lo=lo, hi=hi, reps=3)
+        # physical caps (PERF_NOTES methodology): a stage cannot beat
+        # its shard-data HBM traffic at ~820 GB/s — pre/rows move >= 2
+        # passes of 8 MB/P per element, pointwise >= 3
+        bytes_elem = 8 * N // Pn
+        cap_stage = 1.0 / (2 * bytes_elem / 820e9)
+        cap_pw = 1.0 / (3 * bytes_elem / 820e9)
+        rec = {"batch": Bp}
+        for key, build, lo, hi, cap in (
+                ("pre_col_stage", build_pre, 1, 5, cap_stage),
+                ("row_stage", build_rows, 1, 5, cap_stage),
+                ("pointwise", build_pw, 2, 18, cap_pw)):
+            rate, _ = chain_rate(build, Bp, lo=lo, hi=hi, reps=5,
+                                 cap=cap)
             rec[key + "_us_per_elem"] = round(1e6 / rate, 2)
         # per-element local mul time at this shard shape: 3 transforms
         # (fwd a, fwd b, inverse — same stage structure) + pointwise

@@ -17,8 +17,10 @@ WITHOUT leaving the trace:
                            (matrix.rs:148-188 / sparse commitment shape)
     7. (optional) psi range check per digit coefficient
                            (monomial.rs:82-93) — complete for
-                           power-of-two cyclotomics; ~D x the commit
-                           cost, so off by default in throughput runs
+                           power-of-two cyclotomics; a precomputed
+                           ct-table gather per element since round 5
+                           (rings/monomial._ct_psi_table), so cheap
+                           enough that PROTO_r05 measures with it ON
 
 The composed module is the protocol-rate frontier: stage dispatch fusion
 is free throughput that per-stage benchmarks leave on the table
