@@ -40,7 +40,7 @@ from stark_rings_tpu.rings.absorb import Transcript  # noqa: E402
 def main():
     ring = get_ring("frog")
     rng = random.Random(17)
-    t, n, L = 3, 2, 3                       # 8 witnesses, tiny shapes
+    t, n, L = 2, 2, 3                       # 4 witnesses, tiny shapes
     W = 1 << t
     ft = FoldingTree(ring, n_rows=n, wit_len=L, base=8)
     assert ft.fs.psi_check, "frog is negacyclic: psi check is live"

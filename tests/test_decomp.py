@@ -165,10 +165,10 @@ def test_l2_norm_traced_matches_host(name):
     # bound with a small forced chunk size): same exact value, both for
     # a full reduce and a batched axis reduce with non-front axes
     flat = x.reshape(-1) if not f.limbed else x.reshape(-1, x.shape[-1])
-    wc = jax.jit(lambda x: l2_norm_squared_words(f, x, chunk_n=7))(flat)
+    wc = jax.jit(lambda x: l2_norm_squared_words(f, x, chunk_n=37))(flat)
     assert words_to_int(wc) == want, name
     wcb = jax.jit(
-        lambda x: l2_norm_squared_words(f, x, axis=-1, chunk_n=13))(x)
+        lambda x: l2_norm_squared_words(f, x, axis=-1, chunk_n=29))(x)
     for i in range(3):
         assert words_to_int(wcb[i]) == l2_norm_squared(f, x[i]), (name, i)
 

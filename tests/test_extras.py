@@ -404,9 +404,9 @@ def test_psi_range_check_gather_equals_coeff_mul_formulation():
         vals = ([0, 1, D // 2 - 1, D // 2, D, q - 1, q - D // 2, q - D,
                  (q - 1) // 2, (q + 1) // 2, 1 << 32, (1 << 32) + 3,
                  q - (1 << 32)]
-                + [rng.randrange(q) for _ in range(32)]
-                + [rng.randrange(D) for _ in range(16)]
-                + [q - rng.randrange(1, D) for _ in range(16)])
+                + [rng.randrange(q) for _ in range(10)]
+                + [rng.randrange(D) for _ in range(6)]
+                + [q - rng.randrange(1, D) for _ in range(6)])
         enc = f.encode(np.array(vals, dtype=object))
         got = np.asarray(psi_range_check_batched(ring, enc))
 

@@ -92,6 +92,7 @@ def test_leading_batch_dims(crt_mats):
 
 # -- MxuLimbNTT: the 252-bit four-step power-ring multiplier ----------------
 
+@pytest.mark.slow
 def test_mxu_limb_ntt_matches_radix4():
     from stark_rings_tpu.ops.mxu_limb import MxuLimbNTT
     from stark_rings_tpu.ops.ntt import NTTContext

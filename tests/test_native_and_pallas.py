@@ -78,6 +78,7 @@ def test_native_decompose():
         assert list(digs[i * k:(i + 1) * k]) == want
 
 
+@pytest.mark.slow
 def test_pallas_goldilocks_interpret_matches_jnp():
     from stark_rings_tpu.ops.pallas_goldilocks import GoldilocksPallasNTT
 

@@ -51,7 +51,8 @@ def test_primitive_roots():
 
 @pytest.mark.parametrize("name,N", [
     ("goldilocks", 64), ("goldilocks", 256),
-    ("babybear", 64), ("stark_prime", 16),
+    ("babybear", 64),
+    pytest.param("stark_prime", 16, marks=pytest.mark.slow),
     pytest.param("stark_prime", 256, marks=pytest.mark.slow),
 ])
 def test_negacyclic_roundtrip_and_mul(name, N):
@@ -81,6 +82,7 @@ def test_cyclic_mul(name, N):
     assert [int(v) for v in got] == _cyclic_mul_ints(a_i, b_i, f.q)
 
 
+@pytest.mark.slow
 def test_negacyclic_batched_big():
     """Batched deg-2^12 goldilocks mul == oracle on one row; jit once."""
     f = get_field("goldilocks")
@@ -97,6 +99,7 @@ def test_negacyclic_batched_big():
     assert [int(v) for v in got[1]] == want
 
 
+@pytest.mark.slow
 def test_power_ring_cached_mul_and_square():
     """PowerRing precompute/coeff_mul_cached/coeff_square == coeff_mul,
     incl. the batch-1 challenge broadcast (NTTContext.square lineage)."""

@@ -40,7 +40,9 @@ def _run_step(name, W=2, L=3, n=2, base=None, psi=False):
     return ring, f, fs, (s0t, s1t, c0t, c1t, r), out
 
 
-@pytest.mark.parametrize("name", ["goldilocks", "babybear", "stark_prime"])
+@pytest.mark.parametrize("name", [
+    "goldilocks", "babybear",
+    pytest.param("stark_prime", marks=pytest.mark.slow)])
 def test_folding_step_stages_match_public_surface(name):
     ring, f, fs, (s0t, s1t, c0t, c1t, r), out = _run_step(name)
     tm = fs.tm
@@ -102,15 +104,19 @@ def test_commit_blocked_accumulation_matches_unblocked(name):
     the full [D, W, n, M] product-and-sum path, for both the E > 1
     matvec_t path and the E == 1 limbed field path."""
     ring = get_ring(name)
-    base = 65536 if ring.field.limbed else 256
-    fs = FoldingStep(ring, n_rows=3, wit_len=2, base=base)
+    limbed = ring.field.limbed
+    base = 65536 if limbed else 256
+    # the limbed CIOS compile dominates this test's cost: one forced
+    # block and a length-1 witness exercise the E==1 widened branch
+    fs = FoldingStep(ring, n_rows=3, wit_len=1 if limbed else 2,
+                     base=base)
     rng = random.Random(77)
     c = jax.device_put(fs.init_tables(rng))
     dt = fs.tm.crt_t(fs.tm.to_t(jnp.asarray(np.asarray(
         ring.rand_coeff((4, fs.M), rng)))))
     full = np.asarray(jax.jit(
         lambda c, d: fs.commit(c, d, block=fs.M))(c, dt))
-    for blk in (1, 3, 7):
+    for blk in ((7,) if limbed else (1, 3, 7)):
         got = np.asarray(jax.jit(
             lambda c, d: fs.commit(c, d, block=blk))(c, dt))
         assert (got == full).all(), (name, blk)

@@ -299,7 +299,8 @@ def _pallas_vs_xla(Pn=8, N=1 << 8, B=2, field="goldilocks"):
     return f, mesh, sx, sp, a, b, rng, N
 
 
-@pytest.mark.parametrize("field", ["goldilocks", "babybear"])
+@pytest.mark.parametrize("field", [
+    pytest.param("goldilocks", marks=pytest.mark.slow), "babybear"])
 def test_pallas_exchange_matches_xla_collective(field):
     """The Pallas remote-copy exchange (twiddle fused into the send
     loop, parallel/pallas_exchange.py) is bit-exact vs the XLA

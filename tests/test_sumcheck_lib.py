@@ -5,6 +5,7 @@ DenseMLE.evaluate at the challenge point."""
 import random
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -108,43 +109,56 @@ def test_sumcheck_msb_order_is_lsb_on_bit_reversed_tables():
     assert int(g_l) == int(g_m) and int(h_l) == int(h_m)
 
 
-def test_sumcheck_pallas_kernel_matches_oracle():
-    """The one-kernel Pallas prover (mle/pallas_sumcheck.py, interpret
-    mode on CPU) equals the msb-order XLA oracle message-for-message,
-    for 2-ary (nv=12) and 3-ary (nv=13) products, plus the W-batched
-    wrapper."""
+def _check_pallas_vs_oracle(rng, nv, k, chunk):
     from stark_rings_tpu.mle.pallas_sumcheck import (
-        sumcheck_prove_batch_goldilocks_pallas,
         sumcheck_prove_goldilocks_pallas,
         sumcheck_prove_many_goldilocks_pallas)
     from stark_rings_tpu.mle.sumcheck import (
         sumcheck_prove_many_with_challenges)
 
+    tables = [jnp.asarray(rng.integers(0, F.q, size=(1 << nv,),
+                                       dtype=np.uint64))
+              for _ in range(k)]
+    chals = [jnp.asarray(np.uint64(int(v)))
+             for v in rng.integers(0, F.q, size=(nv,), dtype=np.uint64)]
+    want_m, want_f = jax.jit(
+        lambda ts: sumcheck_prove_many_with_challenges(
+            F, ts, chals, order="msb"))(tables)
+    got_m, got_f = jax.jit(
+        lambda ts: sumcheck_prove_many_goldilocks_pallas(
+            ts, chals, chunk=chunk, interpret=True))(tables)
+    assert np.array_equal(np.asarray(want_m), np.asarray(got_m)), (nv, k)
+    for j in range(k):
+        assert int(want_f[j]) == int(got_f[j]), (nv, k, j)
+    if k == 2:
+        m2, gv, hv = jax.jit(
+            lambda G, H: sumcheck_prove_goldilocks_pallas(
+                G, H, chals, interpret=True))(tables[0], tables[1])
+        assert np.array_equal(np.asarray(m2), np.asarray(want_m))
+        assert int(gv) == int(want_f[0]) and int(hv) == int(want_f[1])
+
+
+def test_sumcheck_pallas_kernel_matches_oracle():
+    """The one-kernel Pallas prover (mle/pallas_sumcheck.py, interpret
+    mode on CPU) equals the msb-order XLA oracle message-for-message
+    (2-ary, nv=12; the k-ary / multi-chunk / W-batched variants run in
+    the slow twin below)."""
+    _check_pallas_vs_oracle(np.random.default_rng(9), 12, 2, 256)
+
+
+@pytest.mark.slow
+def test_sumcheck_pallas_kernel_kary_multichunk_batch():
+    """Slow twin: 3-ary product (nv=13), the multi-chunk accumulator
+    path in both the streamed and in-scratch rounds (nv=14, chunk=16),
+    and the W-batched wrapper vs per-claim proofs."""
+    from stark_rings_tpu.mle.pallas_sumcheck import (
+        sumcheck_prove_batch_goldilocks_pallas)
+    from stark_rings_tpu.mle.sumcheck import (
+        sumcheck_prove_many_with_challenges)
+
     rng = np.random.default_rng(9)
-    # (nv=14, chunk=16) forces the multi-chunk accumulator path in both
-    # the streamed round and the in-scratch rounds
-    for nv, k, chunk in ((12, 2, 256), (13, 3, 256), (14, 2, 16)):
-        tables = [jnp.asarray(rng.integers(0, F.q, size=(1 << nv,),
-                                           dtype=np.uint64))
-                  for _ in range(k)]
-        chals = [jnp.asarray(np.uint64(int(v)))
-                 for v in rng.integers(0, F.q, size=(nv,),
-                                       dtype=np.uint64)]
-        want_m, want_f = jax.jit(
-            lambda ts: sumcheck_prove_many_with_challenges(
-                F, ts, chals, order="msb"))(tables)
-        got_m, got_f = jax.jit(
-            lambda ts: sumcheck_prove_many_goldilocks_pallas(
-                ts, chals, chunk=chunk, interpret=True))(tables)
-        assert np.array_equal(np.asarray(want_m), np.asarray(got_m)), (nv, k)
-        for j in range(k):
-            assert int(want_f[j]) == int(got_f[j]), (nv, k, j)
-        if k == 2 and nv == 12:
-            m2, gv, hv = jax.jit(
-                lambda G, H: sumcheck_prove_goldilocks_pallas(
-                    G, H, chals, interpret=True))(tables[0], tables[1])
-            assert np.array_equal(np.asarray(m2), np.asarray(want_m))
-            assert int(gv) == int(want_f[0]) and int(hv) == int(want_f[1])
+    _check_pallas_vs_oracle(rng, 13, 3, 256)
+    _check_pallas_vs_oracle(rng, 14, 2, 16)
 
     # W-batched wrapper == per-claim proofs
     nv, k, W = 12, 2, 3
