@@ -807,6 +807,55 @@ def sec_bigdeg():
                   file=sys.stderr)
             out[f"deg2^{logN}"] = None
         put(goldilocks_bigdeg_ring_mults_per_sec=dict(out))
+
+    # single-chip four-step VPU path at 2^20 (SHARDCOMPUTE_r05 bonus
+    # finding: the radix stages avoid the mxu2 path's int32 bucket-write
+    # HBM amplification at this degree) — oracle-gated; the bigdeg key
+    # reports the best exact path
+    if DEADLINE - time.monotonic() >= 120:
+        try:
+            from stark_rings_tpu.parallel import ShardedNTT
+
+            N, B = 1 << 20, 8
+            sn = ShardedNTT("goldilocks", N, 1, single_chip=True)
+            _, _, fmul = sn.make_single_chip_fns()
+            try:
+                from stark_rings_tpu.native.host import HostGoldilocks
+
+                hg = HostGoldilocks(N)
+                a = rng.integers(0, q, size=(1, N), dtype=np.uint64)
+                b = rng.integers(0, q, size=(1, N), dtype=np.uint64)
+                got = np.asarray(sn.from_matrix(jax.jit(fmul)(
+                    sn.to_matrix(a), sn.to_matrix(b))))
+                assert np.array_equal(got, hg.mul(a, b)), \
+                    "fourstep 2^20 mismatch vs host oracle"
+            except (OSError, ImportError):
+                pass
+
+            def build(depth):
+                am = jax.device_put(sn.to_matrix(rng.integers(
+                    0, q, size=(B, N), dtype=np.uint64)))
+                bms = [jax.device_put(sn.to_matrix(rng.integers(
+                    0, q, size=(B, N), dtype=np.uint64)))
+                    for _ in range(depth)]
+
+                def fn(x, bms):
+                    for i in range(depth):
+                        x = fmul(x, bms[i])
+                    return x
+                return jax.jit(fn), (am, bms)
+
+            rate, _ = chain_rate(build, B, lo=1, hi=3, reps=3, cap=1200)
+            out["deg2^20_fourstep_vpu"] = round(rate, 1)
+            prev = out.get("deg2^20")
+            if isinstance(prev, (int, float)) and rate > prev:
+                out["deg2^20"] = round(rate, 1)
+                out["deg2^20_path"] = "fourstep_vpu"
+        except Exception as exc:  # noqa: BLE001
+            print(f"bigdeg fourstep failed ({type(exc).__name__}: {exc})",
+                  file=sys.stderr)
+            out["deg2^20_fourstep_vpu"] = None
+        put(goldilocks_bigdeg_ring_mults_per_sec=dict(out))
     return out
 
 

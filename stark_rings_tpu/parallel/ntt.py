@@ -45,7 +45,8 @@ class ShardedNTT:
     def __init__(self, field_name: str, N: int, n_devices: int,
                  negacyclic: bool = True, axis: str = "x",
                  local: str = "vpu", exchange: str = "xla",
-                 exchange_interpret: bool = False):
+                 exchange_interpret: bool = False,
+                 single_chip: bool = False):
         f = get_field(field_name)
         assert N & (N - 1) == 0
         logN = N.bit_length() - 1
@@ -98,6 +99,16 @@ class ShardedNTT:
                 " sharded path (2-adicity 3)")
         self.exchange = exchange
         self.exchange_interpret = exchange_interpret
+        # single_chip=True (P must be 1): the four-step runs OUTSIDE any
+        # mesh — shard offsets are the constant 0 and the (identity)
+        # P=1 exchange is skipped, so _local_forward/_local_inverse are
+        # plain jittable functions.  Measured competitive with the mxu2
+        # digit path at deg 2^20 (SHARDCOMPUTE_r05 "bonus finding"):
+        # the VPU radix stages avoid the int32 bucket-write HBM
+        # amplification that caps the dots there at 130 effective TOPS.
+        self.single_chip = bool(single_chip)
+        if single_chip:
+            assert n_devices == 1, "single_chip needs P == 1"
 
     def consts(self):
         """Device constant tables (built eagerly, cached)."""
@@ -191,6 +202,8 @@ class ShardedNTT:
 
     # -- local helpers (run inside shard_map) -----------------------------
     def _col_ofs(self):
+        if self.single_chip:
+            return jnp.int64(0)
         C = self.N2 // self.P
         return jax.lax.axis_index(self.axis) * C
 
@@ -235,6 +248,8 @@ class ShardedNTT:
             x = twiddle_exchange_fwd(x, T, self.P, axis=self.axis,
                                      interpret=self.exchange_interpret,
                                      field=self.f.name)
+        elif self.single_chip:
+            x = f.mul(x, T)        # the P=1 exchange is the identity
         else:
             x = f.mul(x, T)
             # transpose via all_to_all: [.., N1, C] -> [.., N1/P, N2]
@@ -305,7 +320,8 @@ class ShardedNTT:
         R = self.N1 // self.P
         y = self._apply_on_axis(self._local_fns()[3], y, 1)
         # inverse twiddle for the LOCAL row block of k1 leaves
-        row_ofs = jax.lax.axis_index(self.axis) * R
+        row_ofs = jnp.int64(0) if self.single_chip \
+            else jax.lax.axis_index(self.axis) * R
         k1_local = jax.lax.dynamic_slice_in_dim(
             jnp.asarray(self.k1_leaf), row_ofs, R, axis=0)
         cols_all = jnp.arange(self.N2, dtype=jnp.int64)
@@ -318,6 +334,8 @@ class ShardedNTT:
             y = twiddle_exchange_inv(y, Ti, self.P, axis=self.axis,
                                      interpret=self.exchange_interpret,
                                      field=self.f.name)
+        elif self.single_chip:
+            y = f.mul(y, Ti)       # the P=1 exchange is the identity
         else:
             y = f.mul(y, Ti)
             # transpose back: [.., N1/P, N2] -> [.., N1, C]
@@ -463,6 +481,20 @@ class ShardedNTT:
                 "forward": forward}
 
     # -- host-side helpers -------------------------------------------------
+    def make_single_chip_fns(self):
+        """(forward, inverse, mul) as plain jittable functions — the
+        four-step transform on ONE chip (requires single_chip=True).
+        Operands in matrix layout [..., N1, N2] (see to_matrix); mul is
+        bit-exact vs NTTContext / the host oracle (tested)."""
+        assert self.single_chip, "construct with single_chip=True"
+        f = self.f
+
+        def mul(a, b):
+            return self._local_inverse(
+                f.mul(self._local_forward(a), self._local_forward(b)))
+
+        return self._local_forward, self._local_inverse, mul
+
     def to_matrix(self, coeffs):
         """[..., N(, L)] -> [..., N1, N2(, L)] (row-major n = n1*N2+n2)."""
         nd = 1 if self.f.limbed else 0

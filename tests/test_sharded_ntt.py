@@ -278,6 +278,35 @@ def test_sharded_mxu_local_overlap_matches():
     assert np.array_equal(plain, ov)
 
 
+def test_single_chip_four_step_matches_radix_oracle():
+    """ShardedNTT(single_chip=True).make_single_chip_fns: the four-step
+    stages as plain jittable functions (no mesh, P=1 exchange skipped)
+    — mul bit-equal to the monolithic radix NTTContext, and
+    inverse(forward) == identity.  This is the deg-2^20 bench
+    alternative path (SHARDCOMPUTE_r05 bonus finding)."""
+    import jax
+    import numpy as np
+    from stark_rings_tpu.fields import get_field
+    from stark_rings_tpu.ops.ntt import get_ntt
+    from stark_rings_tpu.parallel import ShardedNTT
+
+    f = get_field("goldilocks")
+    N = 1 << 10
+    sn = ShardedNTT("goldilocks", N, 1, single_chip=True)
+    fwd, inv, mul = sn.make_single_chip_fns()
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, f.q, size=(3, N), dtype=np.uint64)
+    b = rng.integers(0, f.q, size=(3, N), dtype=np.uint64)
+    got = np.asarray(sn.from_matrix(jax.jit(mul)(
+        sn.to_matrix(a), sn.to_matrix(b))))
+    want = np.asarray(jax.jit(get_ntt("goldilocks", N,
+                                      negacyclic=True).mul)(a, b))
+    assert np.array_equal(got, want)
+    rt = np.asarray(sn.from_matrix(
+        jax.jit(lambda x: inv(fwd(x)))(sn.to_matrix(a))))
+    assert np.array_equal(rt, a)
+
+
 def _pallas_vs_xla(Pn=8, N=1 << 8, B=2, field="goldilocks"):
     import jax
     import numpy as np
