@@ -219,14 +219,15 @@ def main():
     def build_mle_pallas(depth):
         evals = jax.device_put(nrng.integers(0, f.q, size=(1 << nv,),
                                              dtype=np.uint64))
-        pts = [np.uint64(rng.randrange(f.q)) for _ in range(nv)]
+        pts = [jax.device_put(np.uint64(rng.randrange(f.q)))
+               for _ in range(nv)]
 
-        def fn(ev):
+        def fn(ev, pts):
             for _ in range(depth):
                 v = evaluate_goldilocks_pallas(ev, pts)
                 ev = f.add(ev, jnp.broadcast_to(v, ev.shape))
             return ev
-        return jax.jit(fn), (evals,)
+        return jax.jit(fn), (evals, pts)
 
     try:
         rate, _ = chain_rate(build_mle_pallas, 1, lo=2, hi=258,
@@ -243,14 +244,15 @@ def main():
     def build_mle_mxu(depth):
         evals = jax.device_put(nrng.integers(0, f.q, size=(1 << nv,),
                                              dtype=np.uint64))
-        pts = [np.uint64(rng.randrange(f.q)) for _ in range(nv)]
+        pts = [jax.device_put(np.uint64(rng.randrange(f.q)))
+               for _ in range(nv)]
 
-        def fn(ev):
+        def fn(ev, pts):
             for _ in range(depth):
                 v = evaluate_goldilocks_mxu(ev, pts)
                 ev = f.add(ev, jnp.broadcast_to(v, ev.shape))
             return ev
-        return jax.jit(fn), (evals,)
+        return jax.jit(fn), (evals, pts)
 
     try:
         rate, _ = chain_rate(build_mle_mxu, 1, lo=2, hi=258, reps=3,
@@ -305,7 +307,7 @@ def main():
         chals = [jax.device_put(np.uint64(rng.randrange(f.q)))
                  for _ in range(nv_sc)]
 
-        def fn(G, H):
+        def fn(G, H, chals):
             for _ in range(depth):
                 msgs, gv, hv = sumcheck_prove_with_challenges(
                     f, G, H, chals)
@@ -314,7 +316,7 @@ def main():
                 H = f.add(H, jnp.broadcast_to(f.add(hv, msgs[0, 0]),
                                               H.shape))
             return G
-        return jax.jit(fn), (G0, H0)
+        return jax.jit(fn), (G0, H0, chals)
 
     try:
         rate, _ = chain_rate(build_sumcheck, 1, lo=2, hi=34, reps=3)
@@ -341,7 +343,7 @@ def main():
         chals = [jax.device_put(np.uint64(rng.randrange(f.q)))
                  for _ in range(nv_sc)]
 
-        def fn(G, H):
+        def fn(G, H, chals):
             for _ in range(depth):
                 msgs, gv, hv = sumcheck_prove_goldilocks_pallas(
                     G, H, chals)
@@ -349,7 +351,7 @@ def main():
                 H = f.add(H, jnp.broadcast_to(f.add(hv, msgs[0, 0]),
                                               H.shape))
             return G
-        return jax.jit(fn), (G0, H0)
+        return jax.jit(fn), (G0, H0, chals)
 
     try:
         # cap: a proof cannot beat its one 16 MB table read at HBM
@@ -359,37 +361,6 @@ def main():
     except Exception as exc:  # noqa
         print(f"pallas sumcheck bench failed: {exc}", file=sys.stderr)
         setk("sumcheck20_pallas_proofs_per_s", None)
-    flush()
-
-    Wsc = 8
-
-    def build_sumcheck_pallas_batch(depth):
-        Gs = jax.device_put(nrng.integers(0, f.q, size=(Wsc, 1 << nv_sc),
-                                          dtype=np.uint64))
-        Hs = jax.device_put(nrng.integers(0, f.q, size=(Wsc, 1 << nv_sc),
-                                          dtype=np.uint64))
-        chals = [jax.device_put(np.uint64(rng.randrange(f.q)))
-                 for _ in range(nv_sc)]
-
-        def fn(Gs, Hs):
-            for _ in range(depth):
-                msgs, (gv, hv) = sumcheck_prove_batch_goldilocks_pallas(
-                    [Gs, Hs], chals)
-                Gs = f.add(Gs, jnp.broadcast_to(gv[:, None], Gs.shape))
-                Hs = f.add(Hs, jnp.broadcast_to(
-                    f.add(hv, msgs[:, 0, 0])[:, None], Hs.shape))
-            return Gs
-        return jax.jit(fn), (Gs, Hs)
-
-    try:
-        rate, _ = chain_rate(build_sumcheck_pallas_batch, Wsc, lo=1,
-                             hi=3, reps=3, cap=50_000 * Wsc)
-        setk(f"sumcheck20_pallas_batchW{Wsc}_proofs_per_s",
-             round(rate, 2))
-    except Exception as exc:  # noqa
-        print(f"pallas batch sumcheck bench failed: {exc}",
-              file=sys.stderr)
-        setk(f"sumcheck20_pallas_batchW{Wsc}_proofs_per_s", None)
     flush()
 
     # ---- folding combine: w' = c*w + v with a FIXED challenge c --------
@@ -517,14 +488,14 @@ def main():
         wt = jax.device_put(ft.rand_witnesses(Wt, r2))
         ct = jax.jit(ft.commit_witnesses)(cT, wt)
 
-        def fn(cT, wt, ct):
+        def fn(cT, wt, ct, rts):
             for _ in range(depth):
                 levels, rw, rc = ft.prove(cT, wt, ct, rts)
                 # dependent chain: the root witness perturbs the leaves
                 wt = f.add(wt, jnp.broadcast_to(rw[:, :1], wt.shape))
                 ct = f.add(ct, jnp.broadcast_to(rc[:, :1], ct.shape))
             return wt
-        return jax.jit(fn), (cT, wt, ct)
+        return jax.jit(fn), (cT, wt, ct, rts)
 
     try:
         # cap scales from the composed-step cap: a tree folds Wt leaves
@@ -536,6 +507,41 @@ def main():
         print(f"folding tree bench failed: {exc}", file=sys.stderr)
         setk(f"folding_tree_W{Wt}_L{Lt}_leaves_per_s", None)
     flush()
+
+    # ---- W-batched pallas sumcheck LAST: its W*hi-kernel module is the
+    # slowest remote compile in this file (e55: ~37 min cold) and it
+    # must never starve the folding/tree sections (r5 first run did)
+    Wsc = 4
+
+    def build_sumcheck_pallas_batch(depth):
+        Gs = jax.device_put(nrng.integers(0, f.q, size=(Wsc, 1 << nv_sc),
+                                          dtype=np.uint64))
+        Hs = jax.device_put(nrng.integers(0, f.q, size=(Wsc, 1 << nv_sc),
+                                          dtype=np.uint64))
+        chals = [jax.device_put(np.uint64(rng.randrange(f.q)))
+                 for _ in range(nv_sc)]
+
+        def fn(Gs, Hs, chals):
+            for _ in range(depth):
+                msgs, (gv, hv) = sumcheck_prove_batch_goldilocks_pallas(
+                    [Gs, Hs], chals)
+                Gs = f.add(Gs, jnp.broadcast_to(gv[:, None], Gs.shape))
+                Hs = f.add(Hs, jnp.broadcast_to(
+                    f.add(hv, msgs[:, 0, 0])[:, None], Hs.shape))
+            return Gs
+        return jax.jit(fn), (Gs, Hs, chals)
+
+    try:
+        rate, _ = chain_rate(build_sumcheck_pallas_batch, Wsc, lo=1,
+                             hi=2, reps=3, cap=50_000 * Wsc)
+        setk(f"sumcheck20_pallas_batchW{Wsc}_proofs_per_s",
+             round(rate, 2))
+    except Exception as exc:  # noqa
+        print(f"pallas batch sumcheck bench failed: {exc}",
+              file=sys.stderr)
+        setk(f"sumcheck20_pallas_batchW{Wsc}_proofs_per_s", None)
+    flush()
+
 
     line = json.dumps(out)
     print(line)
