@@ -219,15 +219,14 @@ def main():
     def build_mle_pallas(depth):
         evals = jax.device_put(nrng.integers(0, f.q, size=(1 << nv,),
                                              dtype=np.uint64))
-        pts = [jax.device_put(np.uint64(rng.randrange(f.q)))
-               for _ in range(nv)]
+        pts = [np.uint64(rng.randrange(f.q)) for _ in range(nv)]
 
-        def fn(ev, pts):
+        def fn(ev):
             for _ in range(depth):
                 v = evaluate_goldilocks_pallas(ev, pts)
                 ev = f.add(ev, jnp.broadcast_to(v, ev.shape))
             return ev
-        return jax.jit(fn), (evals, pts)
+        return jax.jit(fn), (evals,)
 
     try:
         rate, _ = chain_rate(build_mle_pallas, 1, lo=2, hi=258,
@@ -244,15 +243,14 @@ def main():
     def build_mle_mxu(depth):
         evals = jax.device_put(nrng.integers(0, f.q, size=(1 << nv,),
                                              dtype=np.uint64))
-        pts = [jax.device_put(np.uint64(rng.randrange(f.q)))
-               for _ in range(nv)]
+        pts = [np.uint64(rng.randrange(f.q)) for _ in range(nv)]
 
-        def fn(ev, pts):
+        def fn(ev):
             for _ in range(depth):
                 v = evaluate_goldilocks_mxu(ev, pts)
                 ev = f.add(ev, jnp.broadcast_to(v, ev.shape))
             return ev
-        return jax.jit(fn), (evals, pts)
+        return jax.jit(fn), (evals,)
 
     try:
         rate, _ = chain_rate(build_mle_mxu, 1, lo=2, hi=258, reps=3,
@@ -307,7 +305,7 @@ def main():
         chals = [jax.device_put(np.uint64(rng.randrange(f.q)))
                  for _ in range(nv_sc)]
 
-        def fn(G, H, chals):
+        def fn(G, H):
             for _ in range(depth):
                 msgs, gv, hv = sumcheck_prove_with_challenges(
                     f, G, H, chals)
@@ -316,7 +314,7 @@ def main():
                 H = f.add(H, jnp.broadcast_to(f.add(hv, msgs[0, 0]),
                                               H.shape))
             return G
-        return jax.jit(fn), (G0, H0, chals)
+        return jax.jit(fn), (G0, H0)
 
     try:
         rate, _ = chain_rate(build_sumcheck, 1, lo=2, hi=34, reps=3)
@@ -343,7 +341,7 @@ def main():
         chals = [jax.device_put(np.uint64(rng.randrange(f.q)))
                  for _ in range(nv_sc)]
 
-        def fn(G, H, chals):
+        def fn(G, H):
             for _ in range(depth):
                 msgs, gv, hv = sumcheck_prove_goldilocks_pallas(
                     G, H, chals)
@@ -351,7 +349,7 @@ def main():
                 H = f.add(H, jnp.broadcast_to(f.add(hv, msgs[0, 0]),
                                               H.shape))
             return G
-        return jax.jit(fn), (G0, H0, chals)
+        return jax.jit(fn), (G0, H0)
 
     try:
         # cap: a proof cannot beat its one 16 MB table read at HBM
@@ -521,7 +519,7 @@ def main():
         chals = [jax.device_put(np.uint64(rng.randrange(f.q)))
                  for _ in range(nv_sc)]
 
-        def fn(Gs, Hs, chals):
+        def fn(Gs, Hs):
             for _ in range(depth):
                 msgs, (gv, hv) = sumcheck_prove_batch_goldilocks_pallas(
                     [Gs, Hs], chals)
@@ -529,7 +527,7 @@ def main():
                 Hs = f.add(Hs, jnp.broadcast_to(
                     f.add(hv, msgs[:, 0, 0])[:, None], Hs.shape))
             return Gs
-        return jax.jit(fn), (Gs, Hs, chals)
+        return jax.jit(fn), (Gs, Hs)
 
     try:
         rate, _ = chain_rate(build_sumcheck_pallas_batch, Wsc, lo=1,
