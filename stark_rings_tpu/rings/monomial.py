@@ -158,20 +158,33 @@ def psi_range_check_batched(ring: RingModel, a):
     One traced graph range-checks a whole witness tensor on device
     (monomial.rs:82-93 per element): valid(exp) AND ct(psi * exp(a)) == a.
 
-    ct(psi * X^pos) is a gather from the precomputed D-entry
+    ct(psi * X^pos) is a lookup in the precomputed D-entry
     :func:`_ct_psi_table` — no ring multiply per element (the naive
     formulation cost ~D x the Ajtai commit and kept the range check out
-    of measured protocol rates).  Exactly equal to the onehot +
-    ``coeff_mul`` formulation on every input, valid or not: for valid
-    exponents both read ct(psi * X^pos); for invalid ones the result is
-    False either way (``valid`` gates, and no garbage table entry can
-    collide with a canonical |center| >= D input)."""
+    of measured protocol rates).  The lookup is an UNROLLED chain of D
+    selects, not ``jnp.take``: XLA's TPU gather lowering inside a large
+    composed module measured ~30x slower than the whole folding step
+    (PROTO r5: 291 vs 5,620 steps/s), while D fused elementwise selects
+    are VPU-native.  Exactly equal to the onehot + ``coeff_mul``
+    formulation on every input, valid or not: for valid exponents both
+    read ct(psi * X^pos); for invalid ones the result is False either
+    way (``valid`` gates, and no garbage table entry can collide with a
+    canonical |center| >= D input)."""
     import jax.numpy as jnp
 
     f, D = ring.field, ring.D
     pos, valid = _exp_pos_batched(ring, a)
-    tbl = jnp.asarray(_ct_psi_table(ring))
-    c = jnp.take(tbl, jnp.remainder(pos, D), axis=0)
+    tbl = _ct_psi_table(ring)                    # host numpy [D(, l)]
+    pos_m = jnp.remainder(pos, D)
+    if f.limbed:
+        c = jnp.broadcast_to(jnp.asarray(tbl[0]),
+                             pos.shape + (tbl.shape[-1],))
+        for p in range(1, D):
+            c = jnp.where((pos_m == p)[..., None], jnp.asarray(tbl[p]), c)
+    else:
+        c = jnp.broadcast_to(jnp.asarray(tbl[0]), pos.shape)
+        for p in range(1, D):
+            c = jnp.where(pos_m == p, jnp.asarray(tbl[p]), c)
     eq = c == a
     if f.limbed:
         eq = jnp.all(eq, axis=-1)
