@@ -148,6 +148,41 @@ class PowerRing:
                 cache[pallas] = Mxu2NTT(self.D)
         return cache[pallas]
 
+    def fourstep_ctx(self):
+        """Single-chip four-step multiplier on flat [.., N] tensors.
+
+        The four-step stages (parallel.ShardedNTT single_chip mode)
+        measured FASTER than the mxu2 digit engine at deg 2^20 (361 vs
+        282-293 mults/s, bench r5: the VPU radix stages avoid the int32
+        bucket-write HBM amplification that caps the big level dots) and
+        slower below ~2^19 — pick per degree.  Returns (forward,
+        inverse, mul) on flat [.., N] tensors; ``mul`` is bit-equal to
+        :meth:`coeff_mul` (tested).  forward/inverse are a SELF-
+        CONSISTENT evaluation pair whose slot ORDER differs from this
+        ring's ``crt`` leaf order — never mix the two NTT domains
+        (pointwise-combine only values from the same engine).  The
+        field needs a (q-1) % 2N == 0 root chain (goldilocks/babybear/
+        stark_prime up to their 2-adicity)."""
+        cache = getattr(self, "_fourstep", None)
+        if cache is None:
+            from ..parallel.ntt import ShardedNTT
+
+            sn = ShardedNTT(self.field.name, self.D, 1, single_chip=True)
+            fwd_m, inv_m, mul_m = sn.make_single_chip_fns()
+
+            def forward(x):
+                return sn.from_matrix(fwd_m(sn.to_matrix(x)))
+
+            def inverse(x):
+                return sn.from_matrix(inv_m(sn.to_matrix(x)))
+
+            def mul(a, b):
+                return sn.from_matrix(mul_m(sn.to_matrix(a),
+                                            sn.to_matrix(b)))
+
+            cache = self._fourstep = (forward, inverse, mul)
+        return cache
+
     def ntt_pow(self, a, e: int):
         """Slotwise pow on the NTT form (square-and-multiply), matching
         RingModel.ntt_pow so Rq.__pow__ works over power rings too."""

@@ -138,6 +138,30 @@ def test_leaf_order_is_permutation_of_evaluations():
         assert got[i] == want, i
 
 
+def test_power_ring_fourstep_ctx_matches_coeff_mul():
+    """PowerRing.fourstep_ctx (single-chip four-step engine, the bench
+    deg-2^20 winner): mul == coeff_mul bit-for-bit and
+    inverse(forward) == id on flat tensors, goldilocks and babybear."""
+    import jax
+    import jax.numpy as jnp
+
+    from stark_rings_tpu.rings.power import get_power_ring
+
+    for name, logN in (("goldilocks", 9), ("babybear", 8)):
+        ring = get_power_ring(name, logN)
+        fwd, inv, mul = ring.fourstep_ctx()
+        dt = np.uint32 if name == "babybear" else np.uint64
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, ring.q, size=(2, ring.D), dtype=dt)
+        b = rng.integers(0, ring.q, size=(2, ring.D), dtype=dt)
+        got = np.asarray(jax.jit(mul)(jnp.asarray(a), jnp.asarray(b)))
+        want = np.asarray(jax.jit(ring.coeff_mul)(jnp.asarray(a),
+                                                  jnp.asarray(b)))
+        assert np.array_equal(got, want), name
+        rt = np.asarray(jax.jit(lambda x: inv(fwd(x)))(jnp.asarray(a)))
+        assert np.array_equal(rt, a), name
+
+
 def test_stark_prime_power_ring_deg_2_10():
     """252-bit Starknet-prime big-degree ring (2-adicity 192 allows any
     power of two): roundtrip + a spot product vs the host schoolbook.
