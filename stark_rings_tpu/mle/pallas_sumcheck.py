@@ -1,14 +1,20 @@
-"""One-kernel sumcheck prover for products of Goldilocks MLE tables.
+"""One-kernel sumcheck prover for products of MLE tables.
 
 The XLA prover (mle/sumcheck.py) runs nv dependent halving rounds of
-emulated-u64 elementwise passes; at nv = 20 that materializes every
-round's tables/products in HBM and lands ~200x off the VPU envelope
-(~15 proofs/s measured, PERF_NOTES).  This kernel streams the 2^nv
-tables from HBM exactly ONCE: round 0 folds chunk-by-chunk into a
-half-size VMEM scratch per table while accumulating the round messages,
-every later round runs in place in scratch down to 2^10 entries, and
-the last 10 tiny rounds finish at XLA level inside the same jit module
+emulated elementwise passes; at nv = 20 that materializes every round's
+tables/products in HBM and lands ~200x off the VPU envelope (~15
+proofs/s measured, PERF_NOTES).  This kernel streams the 2^nv tables
+from HBM exactly ONCE: round 0 folds chunk-by-chunk into a half-size
+VMEM scratch per table while accumulating the round messages, every
+later round runs in place in scratch down to 2^10 entries, and the last
+10 tiny rounds finish at XLA level inside the same jit module
 (mle/sumcheck.py rounds on <= 1024-entry tables).
+
+Field-parametric like parallel/pallas_exchange.py: a field plugs in as
+(storage u32 plane count, plane-tuple add/sub/mul on the STORAGE form).
+Wired: goldilocks (2 planes, u32-pair canonical arithmetic) and
+babybear (1 plane, u32 Montgomery — the in-kernel ops ARE the field's
+ops on that form, so tables and challenges are used as-is).
 
 Binding order: MSB-first ("msb" in mle/sumcheck.py terms) — the top
 variable's cosets are contiguous row halves, so every round is pure
@@ -19,9 +25,12 @@ message, so the reference's x_0-first convention
 transpose away; both identities are tested in test_sumcheck_lib.
 
 Message accumulation: per evaluation point t in 0..k, chunk products
-accumulate into a VMEM accumulator with canonical modular adds, then a
-sublane halving tree reduces to one [1, 128] row per (round, t); the
+accumulate into a VMEM accumulator with storage-form modular adds, then
+a sublane halving tree reduces to one [1, 128] row per (round, t); the
 final 128-lane modular sum happens at XLA level on the tiny output.
+
+Measured (goldilocks, nv=20, 2-ary, real v5e): 2,204-3,046 proofs/s
+day band vs 14.75/s for the XLA prover — 149-206x (PROTO_r05).
 """
 
 from __future__ import annotations
@@ -33,13 +42,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..fields import GOLDILOCKS as _F
+from ..fields import get_field
 from ..ops.pallas_goldilocks import _add_q, _mul_q, _sub_q
 from .sumcheck import sumcheck_prove_many_with_challenges
 
 __all__ = ["sumcheck_prove_goldilocks_pallas",
            "sumcheck_prove_many_goldilocks_pallas",
-           "sumcheck_prove_batch_goldilocks_pallas"]
+           "sumcheck_prove_batch_goldilocks_pallas",
+           "sumcheck_prove_many_pallas", "SUMCHECK_FIELDS"]
 
 _ANY = pl.BlockSpec(memory_space=pltpu.ANY)
 _WHOLE = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -52,108 +62,167 @@ _TAIL_ROWS = 8
 _SCRATCH_BUDGET = 9 << 20
 
 
-def _tree_sum(lo, hi):
-    """[m, 128] canonical pairs -> [1, 128] modular sublane sum."""
-    m = lo.shape[0]
+class _GlOps:
+    """Canonical u64 as (lo, hi) u32 planes (ops/pallas_goldilocks)."""
+
+    NP = 2
+
+    @staticmethod
+    def add(x, y):
+        return _add_q(x[0], x[1], y[0], y[1])
+
+    @staticmethod
+    def sub(x, y):
+        return _sub_q(x[0], x[1], y[0], y[1])
+
+    @staticmethod
+    def mul(x, y):
+        return _mul_q(x[0], x[1], y[0], y[1])
+
+
+class _BbOps:
+    """BabyBear u32 Montgomery storage: one plane; the in-kernel ops ARE
+    the field's add/sub/mul on that storage (ops/pallas_fold_bb)."""
+
+    NP = 1
+    _Q = np.uint32(15 * 2**27 + 1)
+
+    @classmethod
+    def add(cls, x, y):
+        s = x[0] + y[0]                  # q < 2^31: no u32 wrap
+        return (jnp.where(s >= cls._Q, s - cls._Q, s),)
+
+    @classmethod
+    def sub(cls, x, y):
+        d = x[0] - y[0]
+        return (jnp.where(x[0] < y[0], d + cls._Q, d),)
+
+    @staticmethod
+    def mul(x, y):
+        from ..ops.pallas_fold_bb import _bb_mont_mul
+
+        return (_bb_mont_mul(x[0], y[0]),)
+
+
+#: field name -> plane-tuple kernel ops on the field's storage form
+SUMCHECK_FIELDS = {"goldilocks": _GlOps, "babybear": _BbOps}
+
+
+def _tree_sum(ops, v):
+    """[m, 128] storage planes -> [1, 128] modular sublane sum."""
+    m = v[0].shape[0]
     assert m & (m - 1) == 0
     while m > 1:
         m //= 2
-        lo, hi = _add_q(lo[:m], hi[:m], lo[m:2 * m], hi[m:2 * m])
-    return lo, hi
+        v = ops.add(tuple(p[:m] for p in v), tuple(p[m:2 * m] for p in v))
+    return v
 
 
-def _prod(pairs):
-    """Elementwise modular product over a list of (lo, hi) pairs."""
-    lo, hi = pairs[0]
-    for l2, h2 in pairs[1:]:
-        lo, hi = _mul_q(lo, hi, l2, h2)
-    return lo, hi
+def _prod(ops, vals):
+    """Elementwise modular product over a list of plane tuples."""
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = ops.mul(acc, v)
+    return acc
 
 
-def _fold1(t0lo, t0hi, dlo, dhi, rlo, rhi):
-    """t0 + r*d on u32 pairs, r broadcast to the slice shape."""
-    mlo, mhi = _mul_q(dlo, dhi, jnp.broadcast_to(rlo, dlo.shape),
-                      jnp.broadcast_to(rhi, dhi.shape))
-    return _add_q(t0lo, t0hi, mlo, mhi)
+def _fold1(ops, t0, d, r):
+    """t0 + r*d, r broadcast to the slice shape."""
+    rb = tuple(jnp.broadcast_to(p, d[0].shape) for p in r)
+    return ops.add(t0, ops.mul(d, rb))
 
 
-def _make_kernel(nv: int, k: int, chunk: int):
+def _make_kernel(nv: int, k: int, chunk: int, ops):
     rows = (1 << nv) // _LANES
     h0 = rows // 2
     nk = nv - 10                   # rounds bound inside the kernel
+    NP = ops.NP
 
     def kern(*refs):
-        ins = refs[:2 * k]                       # per-table (lo, hi) HBM
-        plo, phi = refs[2 * k:2 * k + 2]         # [nk, 128] challenges
-        msgs_lo, msgs_hi = refs[2 * k + 2:2 * k + 4]
-        fins = refs[2 * k + 4:4 * k + 4]         # per-table [8,128] out
-        (vin_lo, vin_hi, s_lo, s_hi,
-         acc_lo, acc_hi, sem) = refs[4 * k + 4:]
+        ins = refs[:NP * k]                      # per-table plane HBM refs
+        pls = refs[NP * k:NP * k + NP]           # [nk, 128] challenges
+        msgs = refs[NP * k + NP:NP * k + 2 * NP]
+        fins = refs[NP * k + 2 * NP:2 * NP * k + 2 * NP]
+        rest = refs[2 * NP * k + 2 * NP:]
+        vin = rest[:NP]                          # [2k, chunk, 128] each
+        scr = rest[NP:2 * NP]                    # [k, h0, 128] each
+        acc = rest[2 * NP:3 * NP]                # [k+1, chunk, 128] each
+        sem = rest[3 * NP]
+
+        def in_planes(j):
+            return tuple(ins[NP * j + p] for p in range(NP))
+
+        def vin_val(slot):
+            return tuple(vin[p][jnp.int32(slot)] for p in range(NP))
+
+        def scr_val(j, sl):
+            return tuple(scr[p][j, sl] for p in range(NP))
+
+        def scr_set(j, sl, v):
+            for p in range(NP):
+                scr[p][j, sl] = v[p]
+
+        def chal(i):
+            return tuple(pl_[i:i + 1] for pl_ in pls)
 
         def acc_zero(ch):
             z = jnp.zeros((ch, _LANES), jnp.uint32)
             for t in range(k + 1):
-                acc_lo[t, :ch] = z
-                acc_hi[t, :ch] = z
+                for p in range(NP):
+                    acc[p][t, :ch] = z
 
-        def acc_add(t, plo_, phi_):
-            ch = plo_.shape[0]
-            al, ah = _add_q(acc_lo[t, :ch], acc_hi[t, :ch], plo_, phi_)
-            acc_lo[t, :ch] = al
-            acc_hi[t, :ch] = ah
+        def acc_add(t, v):
+            ch = v[0].shape[0]
+            s = ops.add(tuple(acc[p][t, :ch] for p in range(NP)), v)
+            for p in range(NP):
+                acc[p][t, :ch] = s[p]
+
+        def write_msg(row, v):
+            for p in range(NP):
+                msgs[p][row:row + 1] = v[p]
 
         def messages(t0s, ds, i, multi):
             """Evaluate p(t) for t = 0..k on one chunk's halves."""
             cur = t0s
             for t in range(k + 1):
                 if t:
-                    cur = [_add_q(*cur[j], *ds[j]) for j in range(k)]
-                pl_, ph_ = _prod(cur)
+                    cur = [ops.add(cur[j], ds[j]) for j in range(k)]
+                pr = _prod(ops, cur)
                 if multi:
-                    acc_add(t, pl_, ph_)
+                    acc_add(t, pr)
                 else:
-                    tl, th = _tree_sum(pl_, ph_)
-                    row = i * (k + 1) + t
-                    msgs_lo[row:row + 1] = tl
-                    msgs_hi[row:row + 1] = th
+                    write_msg(i * (k + 1) + t, _tree_sum(ops, pr))
 
         def flush_acc(i, ch):
             for t in range(k + 1):
-                tl, th = _tree_sum(acc_lo[t, :ch], acc_hi[t, :ch])
-                row = i * (k + 1) + t
-                msgs_lo[row:row + 1] = tl
-                msgs_hi[row:row + 1] = th
+                v = tuple(acc[p][t, :ch] for p in range(NP))
+                write_msg(i * (k + 1) + t, _tree_sum(ops, v))
 
         # ---- round 0: stream from HBM, fold into scratch --------------
-        r0lo, r0hi = plo[0:1], phi[0:1]
+        r0 = chal(0)
         acc_zero(chunk)
         for c0 in range(0, h0, chunk):
             cps = []
             for j in range(k):
-                tlo_h, thi_h = ins[2 * j], ins[2 * j + 1]
-                for slot, (src, ofs) in enumerate(
-                        ((tlo_h, 0), (thi_h, 0),
-                         (tlo_h, h0), (thi_h, h0))):
-                    sid = 4 * j + slot
-                    cps.append(pltpu.make_async_copy(
-                        src.at[pl.ds(jnp.int32(ofs + c0), chunk)],
-                        (vin_lo if slot % 2 == 0 else vin_hi
-                         ).at[jnp.int32(2 * j + slot // 2)],
-                        sem.at[jnp.int32(sid)]))
+                planes = in_planes(j)
+                for half, ofs in ((0, 0), (1, h0)):
+                    for p in range(NP):
+                        sid = (2 * j + half) * NP + p
+                        cps.append(pltpu.make_async_copy(
+                            planes[p].at[pl.ds(jnp.int32(ofs + c0), chunk)],
+                            vin[p].at[jnp.int32(2 * j + half)],
+                            sem.at[jnp.int32(sid)]))
             for cp in cps:
                 cp.start()
             for cp in cps:
                 cp.wait()
-            t0s = [(vin_lo[jnp.int32(2 * j)], vin_hi[jnp.int32(2 * j)])
-                   for j in range(k)]
-            t1s = [(vin_lo[jnp.int32(2 * j + 1)],
-                    vin_hi[jnp.int32(2 * j + 1)]) for j in range(k)]
-            ds = [_sub_q(*t1s[j], *t0s[j]) for j in range(k)]
+            t0s = [vin_val(2 * j) for j in range(k)]
+            t1s = [vin_val(2 * j + 1) for j in range(k)]
+            ds = [ops.sub(t1s[j], t0s[j]) for j in range(k)]
             messages(t0s, ds, 0, True)
             for j in range(k):
-                flo, fhi = _fold1(*t0s[j], *ds[j], r0lo, r0hi)
-                s_lo[j, c0:c0 + chunk] = flo
-                s_hi[j, c0:c0 + chunk] = fhi
+                scr_set(j, slice(c0, c0 + chunk),
+                        _fold1(ops, t0s[j], ds[j], r0))
         flush_acc(0, chunk)
 
         # ---- rounds 1..nk-1: in place in scratch ----------------------
@@ -162,20 +231,18 @@ def _make_kernel(nv: int, k: int, chunk: int):
             h = S // 2
             ch = min(h, chunk)
             multi = h > ch
-            rilo, rihi = plo[i:i + 1], phi[i:i + 1]
+            ri = chal(i)
             if multi:
                 acc_zero(ch)
             for c0 in range(0, h, ch):
-                t0s = [(s_lo[j, c0:c0 + ch], s_hi[j, c0:c0 + ch])
+                t0s = [scr_val(j, slice(c0, c0 + ch)) for j in range(k)]
+                t1s = [scr_val(j, slice(h + c0, h + c0 + ch))
                        for j in range(k)]
-                t1s = [(s_lo[j, h + c0:h + c0 + ch],
-                        s_hi[j, h + c0:h + c0 + ch]) for j in range(k)]
-                ds = [_sub_q(*t1s[j], *t0s[j]) for j in range(k)]
+                ds = [ops.sub(t1s[j], t0s[j]) for j in range(k)]
                 messages(t0s, ds, i, multi)
                 for j in range(k):
-                    flo, fhi = _fold1(*t0s[j], *ds[j], rilo, rihi)
-                    s_lo[j, c0:c0 + ch] = flo
-                    s_hi[j, c0:c0 + ch] = fhi
+                    scr_set(j, slice(c0, c0 + ch),
+                            _fold1(ops, t0s[j], ds[j], ri))
             if multi:
                 flush_acc(i, ch)
             S = h
@@ -183,32 +250,39 @@ def _make_kernel(nv: int, k: int, chunk: int):
         # ---- remaining 2^10-entry tables out --------------------------
         assert S == _TAIL_ROWS
         for j in range(k):
-            fins[2 * j][:] = s_lo[j, :_TAIL_ROWS]
-            fins[2 * j + 1][:] = s_hi[j, :_TAIL_ROWS]
+            for p in range(NP):
+                fins[NP * j + p][:] = scr[p][j, :_TAIL_ROWS]
 
     return kern
 
 
-def _to_planes(x, rows):
+def _to_planes(x, rows, NP):
+    if NP == 1:
+        assert x.dtype == jnp.uint32
+        return [x.reshape(rows, _LANES)]
     v = jax.lax.bitcast_convert_type(x.reshape(rows, _LANES), jnp.uint32)
-    return v[..., 0], v[..., 1]
+    return [v[..., p] for p in range(NP)]
 
 
-def _from_planes(lo, hi):
+def _from_planes(planes):
+    if len(planes) == 1:
+        return planes[0]
     return jax.lax.bitcast_convert_type(
-        jnp.stack([lo, hi], axis=-1), jnp.uint64)
+        jnp.stack(planes, axis=-1), jnp.uint64)
 
 
-def sumcheck_prove_many_goldilocks_pallas(tables, challenges,
-                                          chunk: int = 256,
-                                          interpret: bool = False):
+def sumcheck_prove_many_pallas(tables, challenges, chunk: int = 256,
+                               interpret: bool = False,
+                               field: str = "goldilocks"):
     """k-ary product sumcheck prover, msb binding order, one kernel +
-    an XLA tail.  ``tables``: k canonical u64 [2^nv] arrays;
-    ``challenges``: nv scalars.  Returns (msgs [nv, k+1], finals [k]) —
-    exactly ``sumcheck_prove_many_with_challenges(f, tables, challenges,
-    order="msb")`` (tested), at one HBM read of the tables instead of
-    ~2 reads + 2 writes per round."""
-    f = _F
+    an XLA tail.  ``tables``: k storage [2^nv] arrays; ``challenges``:
+    nv storage scalars.  Returns (msgs [nv, k+1], finals [k]) — exactly
+    ``sumcheck_prove_many_with_challenges(f, tables, challenges,
+    order="msb")`` on the field's storage (tested), at one HBM read of
+    the tables instead of ~2 reads + 2 writes per round."""
+    f = get_field(field)
+    ops = SUMCHECK_FIELDS[field]
+    NP = ops.NP
     k = len(tables)
     nv = len(challenges)
     n = 1 << nv
@@ -219,7 +293,7 @@ def sumcheck_prove_many_goldilocks_pallas(tables, challenges,
     nk = nv - 10
     rows = n // _LANES
     h0 = rows // 2
-    assert k * h0 * _LANES * 8 <= _SCRATCH_BUDGET, (
+    assert k * h0 * _LANES * 4 * NP <= _SCRATCH_BUDGET, (
         f"k={k} tables at nv={nv} exceed the VMEM scratch budget")
     chunk = min(chunk, h0)
     while h0 % chunk:
@@ -227,43 +301,46 @@ def sumcheck_prove_many_goldilocks_pallas(tables, challenges,
 
     planes = []
     for T in tables:
-        lo, hi = _to_planes(jnp.asarray(T), rows)
-        planes += [lo, hi]
-    pts = jnp.stack([jnp.asarray(challenges[i], dtype=jnp.uint64)
+        planes += _to_planes(jnp.asarray(T), rows, NP)
+    pts = jnp.stack([jnp.asarray(challenges[i], dtype=f.dtype)
                      for i in range(nk)])
-    p32 = jax.lax.bitcast_convert_type(
-        jnp.broadcast_to(pts[:, None], (nk, _LANES)), jnp.uint32)
+    p_planes = _to_planes(jnp.broadcast_to(pts[:, None],
+                                           (nk, _LANES)), nk, NP)
 
-    out_shape = ((jax.ShapeDtypeStruct((nk * (k + 1), _LANES), jnp.uint32),
-                  jax.ShapeDtypeStruct((nk * (k + 1), _LANES), jnp.uint32))
+    out_shape = (tuple(jax.ShapeDtypeStruct((nk * (k + 1), _LANES),
+                                            jnp.uint32)
+                       for _ in range(NP))
                  + tuple(jax.ShapeDtypeStruct((_TAIL_ROWS, _LANES),
                                               jnp.uint32)
-                         for _ in range(2 * k)))
+                         for _ in range(NP * k)))
     pcall = pl.pallas_call(
-        _make_kernel(nv, k, chunk),
-        in_specs=[_ANY] * (2 * k) + [_WHOLE, _WHOLE],
-        out_specs=(_WHOLE,) * (2 + 2 * k),
+        _make_kernel(nv, k, chunk, ops),
+        in_specs=[_ANY] * (NP * k) + [_WHOLE] * NP,
+        out_specs=(_WHOLE,) * (NP + NP * k),
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2 * k, chunk, _LANES), jnp.uint32),   # vin_lo
-            pltpu.VMEM((2 * k, chunk, _LANES), jnp.uint32),   # vin_hi
-            pltpu.VMEM((k, h0, _LANES), jnp.uint32),          # s_lo
-            pltpu.VMEM((k, h0, _LANES), jnp.uint32),          # s_hi
-            pltpu.VMEM((k + 1, chunk, _LANES), jnp.uint32),   # acc_lo
-            pltpu.VMEM((k + 1, chunk, _LANES), jnp.uint32),   # acc_hi
-            pltpu.SemaphoreType.DMA((4 * k,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((2 * k, chunk, _LANES), jnp.uint32)] * NP    # vin
+            + [pltpu.VMEM((k, h0, _LANES), jnp.uint32)] * NP         # scr
+            + [pltpu.VMEM((k + 1, chunk, _LANES), jnp.uint32)] * NP  # acc
+            + [pltpu.SemaphoreType.DMA((2 * NP * k,))]),
         interpret=interpret,
     )
-    outs = pcall(*planes, p32[..., 0], p32[..., 1])
-    msgs_lo, msgs_hi = outs[0], outs[1]
-    part = _from_planes(msgs_lo, msgs_hi)          # [nk*(k+1), 128]
+    outs = pcall(*planes, *p_planes)
+    part = _from_planes(list(outs[:NP]))          # [nk*(k+1), 128]
     head = f.sum(part, axis=1).reshape(nk, k + 1)
-    tails = [_from_planes(outs[2 + 2 * j], outs[3 + 2 * j]).reshape(-1)
-             for j in range(k)]
+    tails = [_from_planes([outs[NP + NP * j + p] for p in range(NP)]
+                          ).reshape(-1) for j in range(k)]
     msgs_tail, finals = sumcheck_prove_many_with_challenges(
         f, tails, list(challenges[nk:]), order="msb")
     return jnp.concatenate([head, msgs_tail], axis=0), finals
+
+
+def sumcheck_prove_many_goldilocks_pallas(tables, challenges,
+                                          chunk: int = 256,
+                                          interpret: bool = False):
+    return sumcheck_prove_many_pallas(tables, challenges, chunk=chunk,
+                                      interpret=interpret,
+                                      field="goldilocks")
 
 
 def sumcheck_prove_goldilocks_pallas(G, H, challenges, chunk: int = 256,
@@ -282,7 +359,10 @@ def sumcheck_prove_batch_goldilocks_pallas(tables, challenges,
     run: fold W witness sumchecks per step).  ``tables``: k stacked
     canonical u64 [W, 2^nv] arrays.  Returns (msgs [W, nv, k+1],
     finals [k] of [W]) — one kernel per claim inside the caller's jit
-    module, so per-proof dispatch cost amortizes across the batch."""
+    module.  NOTE (e55/PROTO_r05): the single-proof in-module chain
+    already amortizes dispatch; batching measured SLOWER (1.3-1.5k vs
+    2.2-3.0k proofs/s) and its W*depth-kernel modules are the slowest
+    remote compiles in the repo — prefer chaining single proofs."""
     k = len(tables)
     W = tables[0].shape[0]
     assert all(T.shape == tables[0].shape for T in tables)

@@ -109,28 +109,29 @@ def test_sumcheck_msb_order_is_lsb_on_bit_reversed_tables():
     assert int(g_l) == int(g_m) and int(h_l) == int(h_m)
 
 
-def _check_pallas_vs_oracle(rng, nv, k, chunk):
+def _check_pallas_vs_oracle(rng, nv, k, chunk, field="goldilocks"):
+    from stark_rings_tpu.fields import get_field
     from stark_rings_tpu.mle.pallas_sumcheck import (
-        sumcheck_prove_goldilocks_pallas,
-        sumcheck_prove_many_goldilocks_pallas)
+        sumcheck_prove_goldilocks_pallas, sumcheck_prove_many_pallas)
     from stark_rings_tpu.mle.sumcheck import (
         sumcheck_prove_many_with_challenges)
 
-    tables = [jnp.asarray(rng.integers(0, F.q, size=(1 << nv,),
-                                       dtype=np.uint64))
+    f = get_field(field)
+    dt = np.uint32 if field == "babybear" else np.uint64
+    tables = [jnp.asarray(rng.integers(0, f.q, size=(1 << nv,), dtype=dt))
               for _ in range(k)]
-    chals = [jnp.asarray(np.uint64(int(v)))
-             for v in rng.integers(0, F.q, size=(nv,), dtype=np.uint64)]
+    chals = [jnp.asarray(dt(int(v)))
+             for v in rng.integers(0, f.q, size=(nv,), dtype=dt)]
     want_m, want_f = jax.jit(
         lambda ts: sumcheck_prove_many_with_challenges(
-            F, ts, chals, order="msb"))(tables)
+            f, ts, chals, order="msb"))(tables)
     got_m, got_f = jax.jit(
-        lambda ts: sumcheck_prove_many_goldilocks_pallas(
-            ts, chals, chunk=chunk, interpret=True))(tables)
+        lambda ts: sumcheck_prove_many_pallas(
+            ts, chals, chunk=chunk, interpret=True, field=field))(tables)
     assert np.array_equal(np.asarray(want_m), np.asarray(got_m)), (nv, k)
     for j in range(k):
         assert int(want_f[j]) == int(got_f[j]), (nv, k, j)
-    if k == 2:
+    if k == 2 and field == "goldilocks":
         m2, gv, hv = jax.jit(
             lambda G, H: sumcheck_prove_goldilocks_pallas(
                 G, H, chals, interpret=True))(tables[0], tables[1])
@@ -144,6 +145,14 @@ def test_sumcheck_pallas_kernel_matches_oracle():
     (2-ary, nv=12; the k-ary / multi-chunk / W-batched variants run in
     the slow twin below)."""
     _check_pallas_vs_oracle(np.random.default_rng(9), 12, 2, 256)
+
+
+def test_sumcheck_pallas_kernel_babybear():
+    """The field-parametric kernel on babybear: ONE u32 Montgomery plane
+    whose in-kernel ops are the field's storage ops — exact vs the
+    msb-order XLA oracle on the same storage."""
+    _check_pallas_vs_oracle(np.random.default_rng(5), 12, 2, 256,
+                            field="babybear")
 
 
 @pytest.mark.slow
