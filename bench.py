@@ -204,13 +204,16 @@ def chain_rate(build, B, lo=2, hi=6, reps=3, cap=None):
             this_.append(th)
         diffs.sort()
         n = len(diffs)
-        quart = (diffs[max(0, (n - 1) // 4)],
-                 diffs[min(n - 1, (3 * (n - 1) + 3) // 4)])
+        # middle-half band: drop floor(n/4) extremes each side so a
+        # single congestion-spiked pair (the artifact class the median
+        # discards) cannot re-enter the published band; at n <= 3 this
+        # degenerates to the full range — callers run reps >= 4
+        quart = (diffs[n // 4], diffs[n - 1 - n // 4])
         return diffs[(n - 1) // 2], quart, min(tlos), min(this_)
 
     def band(quart):
-        """Paired-diff IQR -> a [low, high] rate band (None where a
-        quartile diff is nonpositive — jitter swamped that tail)."""
+        """Paired-diff middle-half spread -> a [low, high] rate band
+        (None where a bound diff is nonpositive — jitter swamped it)."""
         out = []
         for dq in reversed(quart):      # large diff -> low rate
             pm = dq / (hi - lo)
@@ -365,9 +368,15 @@ def sec_headline_resample(st):
 def _merge_path_rate(name, B, rate):
     with _LOCK:
         prr = RESULT.setdefault("path_rates_by_batch", {})
-        prr[name] = [B, round(rate, 1)]
-        # headline value = best measured full-multiply path
-        if RESULT["value"] is not None and rate > RESULT["value"]:
+        # keep each path's BEST measured rate so the headline value
+        # always matches its own path entry (a congested late re-sample
+        # must not overwrite a better earlier reading)
+        old = prr.get(name)
+        if old is None or rate > old[1]:
+            prr[name] = [B, round(rate, 1)]
+        # headline value = best measured full-multiply path (also
+        # promotes when the first headline section failed: value None)
+        if RESULT["value"] is None or rate > RESULT["value"]:
             RESULT["value"] = round(rate, 3)
             RESULT["vs_baseline"] = round(rate / 5e8, 9)
             RESULT["path"] = name

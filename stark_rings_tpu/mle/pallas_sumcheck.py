@@ -257,18 +257,16 @@ def _make_kernel(nv: int, k: int, chunk: int, ops):
 
 
 def _to_planes(x, rows, NP):
-    if NP == 1:
-        assert x.dtype == jnp.uint32
-        return [x.reshape(rows, _LANES)]
-    v = jax.lax.bitcast_convert_type(x.reshape(rows, _LANES), jnp.uint32)
-    return [v[..., p] for p in range(NP)]
+    # one storage<->u32-plane codec for all plane-parametric kernels
+    from ..parallel.pallas_exchange import _planes_of
+
+    return list(_planes_of(x.reshape(rows, _LANES), NP))
 
 
 def _from_planes(planes):
-    if len(planes) == 1:
-        return planes[0]
-    return jax.lax.bitcast_convert_type(
-        jnp.stack(planes, axis=-1), jnp.uint64)
+    from ..parallel.pallas_exchange import _from_planes as _join
+
+    return _join(list(planes))
 
 
 def sumcheck_prove_many_pallas(tables, challenges, chunk: int = 256,

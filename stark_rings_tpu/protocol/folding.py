@@ -132,25 +132,27 @@ class FoldingStep:
         return self.tm.to_t(jnp.asarray(
             np.asarray(self.ring.rand_ntt((W, self.L), rng))))
 
-    #: uint64 words of slot products live per commit block (128 MB) —
-    #: today's bench shapes (n=8, M=9216, W<=16) stay single-block (the
-    #: exact code path r4 measured); larger n*M commitments switch to
-    #: the widened blocked accumulation instead of materializing the
-    #: full [D, W, n, M] product (Matrix.mul_mat pattern)
-    _COMMIT_BUDGET_WORDS = 1 << 24
+    #: storage words of the [D, W, n, M] slot-product tensor tolerated
+    #: before the commit switches to M-blocked widened accumulation
+    #: (256 MB of u64) — the same budget Matrix.mul_mat uses.  Today's
+    #: bench shapes (n=8, M=8192, W<=16: 201 MB at W=16) stay
+    #: single-block, the exact code path r4 measured; larger n*M*W
+    #: commitments block instead of materializing the full product
+    _COMMIT_BUDGET_WORDS = 1 << 25
 
     def commit(self, c, dt, block: int | None = None):
         """cd = A_g @ digits (NTT form, transposed): [D, W, M] -> [D, W, n].
 
         Peak memory is bounded: when the [D, W, n, M] slot-product
-        tensor would exceed ``_COMMIT_BUDGET_WORDS`` uint64 words, the
+        tensor would exceed ``_COMMIT_BUDGET_WORDS`` storage words, the
         contraction runs M-blocked with exact widened-word accumulation
         (bit-equal, tested with a forced tiny block)."""
         Agt = jnp.asarray(c["Agt"])
         f = self.f
         D, W = dt.shape[0], dt.shape[1]
         if block is None:
-            per = max(1, D * W * self.n * f.n_words)
+            # one storage word per slot product in the unblocked path
+            per = max(1, D * W * self.n)
             block = max(1, self._COMMIT_BUDGET_WORDS // per)
         return ntt_matvec(f, self.tm, self.ring.E, Agt, dt, block)
 

@@ -106,7 +106,7 @@ class FoldingTree:
         mesh axis run through make_sharded_step_fn (zero collectives);
         smaller levels near the root fall back to the local step.
         Bit-equal to :meth:`prove` (certified in dryrun_multichip)."""
-        P = int(np.prod(list(mesh.shape.values())))
+        P = int(mesh.shape[axis])
         sfn = self.fs.make_sharded_step_fn(mesh, axis)
         lfn = jax.jit(self.fs.step)
         levels = []

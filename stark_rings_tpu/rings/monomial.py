@@ -32,16 +32,22 @@ def zero_monomial(ring: RingModel, shape=()):
     return ring.zeros(shape)
 
 
+def _psi_int_coeffs(ring: RingModel):
+    """psi's integer coefficient vector — the ONE definition both
+    :func:`psi` and :func:`_ct_psi_table` build from."""
+    q, D = ring.q, ring.D
+    out = [0] * D
+    for i in range(1, D // 2):
+        out[i] = (out[i] + i) % q
+        out[D - i] = (out[D - i] - i) % q
+    return out
+
+
 def psi(ring: RingModel):
     """psi = sum_{i in [1, d')} i (X^{-i} + X^i), d' = d/2
     (monomial.rs:36-48; X^{-i} contributes -X^{d-i})."""
-    q, D = ring.q, ring.D
-    d_prime = D // 2
-    out = np.zeros(D, dtype=object)
-    for i in range(1, d_prime):
-        out[i] = (out[i] + i) % q
-        out[D - i] = (out[D - i] - i) % q
-    return ring.encode_coeffs(out)
+    return ring.encode_coeffs(np.array(_psi_int_coeffs(ring),
+                                       dtype=object))
 
 
 def exp(ring: RingModel, a: int):
@@ -137,11 +143,8 @@ def _ct_psi_table(ring: RingModel):
     on the integer-exact spec oracle (spec/models.py coeff_mul)."""
     tbl = getattr(ring, "_ct_psi_cache", None)
     if tbl is None:
-        q, D = ring.q, ring.D
-        psi_ints = [0] * D
-        for i in range(1, D // 2):
-            psi_ints[i] = (psi_ints[i] + i) % q
-            psi_ints[D - i] = (psi_ints[D - i] - i) % q
+        D = ring.D
+        psi_ints = _psi_int_coeffs(ring)
         rows = []
         for p in range(D):
             xp = [0] * D
