@@ -12,9 +12,13 @@ later round runs in place in scratch down to 2^10 entries, and the last
 
 Field-parametric like parallel/pallas_exchange.py: a field plugs in as
 (storage u32 plane count, plane-tuple add/sub/mul on the STORAGE form).
-Wired: goldilocks (2 planes, u32-pair canonical arithmetic) and
-babybear (1 plane, u32 Montgomery — the in-kernel ops ARE the field's
-ops on that form, so tables and challenges are used as-is).
+Wired: goldilocks (2 planes, u32-pair canonical arithmetic), babybear
+(1 plane, u32 Montgomery) and frog (2 planes, u64 Montgomery with an
+in-kernel 64-bit REDC multiply) — every 64-bit base field; for all
+Montgomery fields the in-kernel ops ARE the field's ops on its storage
+form, so tables and challenges are used as-is.  The 8-limb stark_prime
+keeps the XLA prover (a 64-u32-op CIOS per product in a VPU streaming
+kernel would be slower than the emulated XLA path it replaces).
 
 Binding order: MSB-first ("msb" in mle/sumcheck.py terms) — the top
 variable's cosets are contiguous row halves, so every round is pure
@@ -104,8 +108,79 @@ class _BbOps:
         return (_bb_mont_mul(x[0], y[0]),)
 
 
+class _FrogOps:
+    """Frog u64 Montgomery storage (R = 2^64) as (lo, hi) u32 planes:
+    generic mod-q pair add/sub plus a 64-bit Montgomery REDC multiply —
+    the field's storage ops, so tables/challenges are used as-is."""
+
+    NP = 2
+    _Qi = 15912092521325583641
+    _QLO = np.uint32(_Qi & 0xFFFFFFFF)
+    _QHI = np.uint32(_Qi >> 32)
+    _QPi = (-pow(_Qi, -1, 1 << 64)) % (1 << 64)     # q' : q q' = -1 mod R
+    _QPLO = np.uint32(_QPi & 0xFFFFFFFF)
+    _QPHI = np.uint32(_QPi >> 32)
+
+    @classmethod
+    def _cond_sub_q(cls, lo, hi, force):
+        """value - q where force OR value >= q (value < 2q)."""
+        from ..ops.pallas_goldilocks import _pair_sub
+
+        ge = (hi > cls._QHI) | ((hi == cls._QHI) & (lo >= cls._QLO))
+        red = force | ge
+        slo, shi, _ = _pair_sub(lo, hi, cls._QLO, cls._QHI)
+        return (jnp.where(red, slo, lo), jnp.where(red, shi, hi))
+
+    @classmethod
+    def add(cls, x, y):
+        from ..ops.pallas_goldilocks import _pair_add
+
+        lo, hi, carry = _pair_add(x[0], x[1], y[0], y[1])
+        return cls._cond_sub_q(lo, hi, carry != 0)
+
+    @classmethod
+    def sub(cls, x, y):
+        from ..ops.pallas_goldilocks import _pair_add, _pair_sub
+
+        lo, hi, borrow = _pair_sub(x[0], x[1], y[0], y[1])
+        alo, ahi, _ = _pair_add(lo, hi, cls._QLO, cls._QHI)
+        neg = borrow != 0
+        return (jnp.where(neg, alo, lo), jnp.where(neg, ahi, hi))
+
+    @staticmethod
+    def _low64_mul(alo, ahi, blo, bhi):
+        """(a * b) mod 2^64 on u32 pairs."""
+        from ..ops.pallas_goldilocks import _mul32
+
+        ll_lo, ll_hi = _mul32(alo, blo)
+        m1_lo, _ = _mul32(alo, bhi)
+        m2_lo, _ = _mul32(ahi, blo)
+        return ll_lo, ll_hi + m1_lo + m2_lo
+
+    @classmethod
+    def mul(cls, x, y):
+        """REDC(a * b): Montgomery product on storage values < q."""
+        from ..ops.pallas_goldilocks import _mul64_128, _pair_add
+
+        lo0, lo1, hi0, hi1 = _mul64_128(x[0], x[1], y[0], y[1])
+        mlo, mhi = cls._low64_mul(lo0, lo1, cls._QPLO, cls._QPHI)
+        _, _, mq2, mq3 = _mul64_128(mlo, mhi, cls._QLO, cls._QHI)
+        # u = hi64(t) + hi64(m*q) + carry(lo64(t) + lo64(m*q)); the low
+        # halves sum to 0 mod 2^64 by construction, so the carry is
+        # exactly (lo64(t) != 0)
+        ulo, uhi, c1 = _pair_add(hi0, hi1, mq2, mq3)
+        nz = ((lo0 | lo1) != np.uint32(0)).astype(jnp.uint32)
+        ulo2 = ulo + nz
+        c2 = (ulo2 < ulo).astype(jnp.uint32)
+        uhi2 = uhi + c2
+        c3 = (uhi2 < uhi).astype(jnp.uint32)
+        # u < 2q (< 2^65): one conditional subtract canonicalizes
+        return cls._cond_sub_q(ulo2, uhi2, (c1 | c3) != 0)
+
+
 #: field name -> plane-tuple kernel ops on the field's storage form
-SUMCHECK_FIELDS = {"goldilocks": _GlOps, "babybear": _BbOps}
+SUMCHECK_FIELDS = {"goldilocks": _GlOps, "babybear": _BbOps,
+                   "frog": _FrogOps}
 
 
 def _tree_sum(ops, v):

@@ -135,8 +135,9 @@ def _reduce128(lo0, lo1, hi0, hi1):
     return jnp.where(ge, clo, slo), jnp.where(ge, chi, shi)
 
 
-def _mul_q(alo, ahi, blo, bhi):
-    """(a * b) mod q on canonical pairs."""
+def _mul64_128(alo, ahi, blo, bhi):
+    """Full 64x64 -> 128 product of u32 pairs, as four u32 words
+    (lo0, lo1, hi0, hi1) = bits [0:32), [32:64), [64:96), [96:128)."""
     ll_lo, ll_hi = _mul32(alo, blo)
     lh_lo, lh_hi = _mul32(alo, bhi)
     hl_lo, hl_hi = _mul32(ahi, blo)
@@ -156,7 +157,13 @@ def _mul_q(alo, ahi, blo, bhi):
     d3 = (t3 < t2).astype(jnp.uint32)
     hi0 = t3
     hi1 = hh_hi + d1 + d2 + d3
-    return _reduce128(ll_lo, lo1, hi0, hi1)
+    return ll_lo, lo1, hi0, hi1
+
+
+def _mul_q(alo, ahi, blo, bhi):
+    """(a * b) mod q on canonical pairs."""
+    lo0, lo1, hi0, hi1 = _mul64_128(alo, ahi, blo, bhi)
+    return _reduce128(lo0, lo1, hi0, hi1)
 
 
 # ---------------------------------------------------------------------------

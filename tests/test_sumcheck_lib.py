@@ -118,6 +118,8 @@ def _check_pallas_vs_oracle(rng, nv, k, chunk, field="goldilocks"):
 
     f = get_field(field)
     dt = np.uint32 if field == "babybear" else np.uint64
+    # frog/babybear tables are MONTGOMERY storage; random u32/u64 values
+    # below q are valid storage either way (uniform in the field)
     tables = [jnp.asarray(rng.integers(0, f.q, size=(1 << nv,), dtype=dt))
               for _ in range(k)]
     chals = [jnp.asarray(dt(int(v)))
@@ -168,6 +170,9 @@ def test_sumcheck_pallas_kernel_kary_multichunk_batch():
     rng = np.random.default_rng(9)
     _check_pallas_vs_oracle(rng, 13, 3, 256)
     _check_pallas_vs_oracle(rng, 14, 2, 16)
+    # frog: u64 Montgomery storage, in-kernel 64-bit REDC multiply
+    _check_pallas_vs_oracle(np.random.default_rng(17), 12, 2, 256,
+                            field="frog")
 
     # W-batched wrapper == per-claim proofs
     nv, k, W = 12, 2, 3
