@@ -148,7 +148,10 @@ def main():
         return jax.jit(fn), (x,)
 
     try:
-        rate, _ = chain_rate(build_decomp, B, lo=1, hi=9, reps=3)
+        # cap: ~30 VPU lane-ops per digit x k digits x D coeffs per
+        # element against the ~1e12 lane-op/s ceiling -> ~1.5e8
+        rate, _ = chain_rate(build_decomp, B, lo=1, hi=9, reps=3,
+                             cap=1.5e8)
         setk("gadget_decompose_elems_per_s", round(rate, 1))
     except Exception as exc:  # noqa
         print(f"decomp bench failed: {exc}", file=sys.stderr)
@@ -179,7 +182,9 @@ def main():
         return jax.jit(fn), (digits,)
 
     try:
-        rate, _ = chain_rate(build_rc, Brc, lo=2, hi=66, reps=3)
+        # cap: ~20 lane-ops x D coeffs per element vs the VPU ceiling
+        rate, _ = chain_rate(build_rc, Brc, lo=2, hi=66, reps=3,
+                             cap=3e9)
         setk("psi_range_check_elems_per_s", round(rate, 1))
     except Exception as exc:  # noqa
         print(f"range-check bench failed: {exc}", file=sys.stderr)
@@ -285,7 +290,11 @@ def main():
         # hi=130 built a module the remote compiler killed (depth-130
         # chain of two-contraction evals — the r03 null); each many-eval
         # is ~0.7 ms so hi-lo=32 still gives a ~22 ms differenced signal
-        rate, _ = chain_rate(build_mle_many, W, lo=2, hi=34, reps=3)
+        # cap: one call cannot beat its 8.4 MB table read (~10 us at
+        # HBM) -> <= ~100k calls/s, W points each (r05 run 1 captured a
+        # 1.68M inflation artifact above this bound)
+        rate, _ = chain_rate(build_mle_many, W, lo=2, hi=34, reps=3,
+                             cap=100_000 * W)
         setk(f"mle20_evaluate_many_W{W}_points_per_s", round(rate, 2))
     except Exception as exc:  # noqa
         print(f"mle many bench failed: {exc}", file=sys.stderr)
